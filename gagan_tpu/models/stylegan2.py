@@ -1,0 +1,796 @@
+"""Unified StyleGAN2 generator / discriminator as pure functions over pytrees.
+
+One implementation replaces the reference's two divergent stacks (NVlabs
+`DissimilarDomains/training/networks.py:592-1437` and rosinality
+`SimilarDomains/gan_models/StyleGAN2/model.py:364-838`).  Parameterization and
+naming follow NVlabs (channel_base / channel_max / num_fp16_res / conv_clamp,
+`train.py:258-267`); rosinality checkpoints load through the converter in
+tools/convert_weights.py (the mapping the reference itself documents in
+`SimilarDomains/core/utils/karras_to_rosinality.py`).
+
+Design notes (TPU-first):
+  * Modules are config dataclasses (static) + parameter pytrees (dynamic);
+    every forward is a pure function, jit/pjit/vmap-compatible.
+  * Mixed precision uses bfloat16 for the `num_fp16_res` highest resolutions
+    (where the reference uses fp16); no loss-scaling or overflow guards are
+    needed because bf16 shares float32's exponent range.
+  * The w_avg buffer is not mutated in-place; `mapping_apply` returns the
+    batch statistics needed for the trainer to update it functionally.
+  * StyleSpace access is first-class: `generator_styles` exposes the per-layer
+    style vectors, `synthesis_from_styles` consumes (possibly edited) styles —
+    mirroring `get_s_code` / `forward_with_s`
+    (`SimilarDomains/gan_models/StyleGAN2/offsets_model.py:407,569`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# `from pkg.mod import name` bypasses the package-attribute shadowing that
+# ops/__init__'s function re-exports would otherwise cause.
+from gagan_tpu.ops import bias_act as _ba  # noqa: F401  (module via sys.modules)
+from gagan_tpu.ops.bias_act import activation_funcs, bias_act
+from gagan_tpu.ops.conv2d_resample import conv2d_resample
+from gagan_tpu.ops.modulated_conv2d import modulated_conv2d
+from gagan_tpu.ops.upfirdn2d import setup_filter, upsample2d, downsample2d
+
+Params = Dict[str, Any]
+
+
+# ----------------------------------------------------------------------------
+# Configs
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    z_dim: int = 512
+    c_dim: int = 0
+    w_dim: int = 512
+    num_ws: Optional[int] = None
+    num_layers: int = 8
+    embed_features: Optional[int] = None
+    layer_features: Optional[int] = None
+    activation: str = "lrelu"
+    lr_multiplier: float = 0.01
+    w_avg_beta: Optional[float] = 0.995
+
+    @property
+    def resolved_embed_features(self) -> int:
+        if self.c_dim == 0:
+            return 0
+        return self.embed_features if self.embed_features is not None else self.w_dim
+
+    @property
+    def resolved_layer_features(self) -> int:
+        return self.layer_features if self.layer_features is not None else self.w_dim
+
+    @property
+    def features_list(self) -> List[int]:
+        lf = self.resolved_layer_features
+        return [self.z_dim + self.resolved_embed_features] + [lf] * (
+            self.num_layers - 1
+        ) + [self.w_dim]
+
+
+@dataclasses.dataclass(frozen=True)
+class SynthesisConfig:
+    w_dim: int = 512
+    img_resolution: int = 1024
+    img_channels: int = 3
+    channel_base: int = 32768
+    channel_max: int = 512
+    num_fp16_res: int = 0          # bf16 for the N highest resolutions
+    conv_clamp: Optional[float] = None
+    architecture: str = "skip"
+    resample_filter: Tuple[int, ...] = (1, 3, 3, 1)
+    activation: str = "lrelu"
+    use_noise: bool = True
+
+    @property
+    def block_resolutions(self) -> List[int]:
+        return [2 ** i for i in range(2, int(np.log2(self.img_resolution)) + 1)]
+
+    def channels(self, res: int) -> int:
+        return min(self.channel_base // res, self.channel_max)
+
+    @property
+    def bf16_resolution(self) -> int:
+        return max(
+            2 ** (int(np.log2(self.img_resolution)) + 1 - self.num_fp16_res), 8
+        )
+
+    @property
+    def num_ws(self) -> int:
+        n = 0
+        for res in self.block_resolutions:
+            n += 1 if res == 4 else 2          # conv1 only at 4x4, else conv0+conv1
+        return n + 1                            # + torgb of the last block
+
+    def layer_names(self) -> List[str]:
+        """Per-conv layer names in reference layer_idx order (networks.py:1162-1166)."""
+        names = []
+        for res in self.block_resolutions:
+            if res > 4:
+                names.append(f"b{res}.conv0")
+            names.append(f"b{res}.conv1")
+            names.append(f"b{res}.torgb")
+        return names
+
+    def layer_in_channels(self) -> List[int]:
+        """Input-channel count (= style dimension) for each layer of layer_names()."""
+        dims = []
+        for res in self.block_resolutions:
+            if res > 4:
+                dims.append(self.channels(res // 2))   # conv0 input
+            dims.append(self.channels(res))            # conv1 input
+            dims.append(self.channels(res))            # torgb input
+        return dims
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    z_dim: int = 512
+    c_dim: int = 0
+    w_dim: int = 512
+    img_resolution: int = 1024
+    img_channels: int = 3
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    synthesis: SynthesisConfig = dataclasses.field(default_factory=SynthesisConfig)
+
+    def __post_init__(self):
+        m = dataclasses.replace(
+            self.mapping, z_dim=self.z_dim, c_dim=self.c_dim, w_dim=self.w_dim,
+            num_ws=dataclasses.replace(
+                self.synthesis, w_dim=self.w_dim,
+                img_resolution=self.img_resolution,
+                img_channels=self.img_channels).num_ws,
+        )
+        s = dataclasses.replace(
+            self.synthesis, w_dim=self.w_dim, img_resolution=self.img_resolution,
+            img_channels=self.img_channels,
+        )
+        object.__setattr__(self, "mapping", m)
+        object.__setattr__(self, "synthesis", s)
+
+    @property
+    def num_ws(self) -> int:
+        return self.synthesis.num_ws
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    c_dim: int = 0
+    img_resolution: int = 1024
+    img_channels: int = 3
+    architecture: str = "resnet"
+    channel_base: int = 32768
+    channel_max: int = 512
+    num_fp16_res: int = 0
+    conv_clamp: Optional[float] = None
+    cmap_dim: Optional[int] = None
+    activation: str = "lrelu"
+    resample_filter: Tuple[int, ...] = (1, 3, 3, 1)
+    mbstd_group_size: Optional[int] = 4
+    mbstd_num_channels: int = 1
+    freeze_layers: int = 0
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+
+    @property
+    def block_resolutions(self) -> List[int]:
+        return [2 ** i for i in range(int(np.log2(self.img_resolution)), 2, -1)]
+
+    def channels(self, res: int) -> int:
+        return min(self.channel_base // res, self.channel_max)
+
+    @property
+    def bf16_resolution(self) -> int:
+        return max(
+            2 ** (int(np.log2(self.img_resolution)) + 1 - self.num_fp16_res), 8
+        )
+
+    @property
+    def resolved_cmap_dim(self) -> int:
+        if self.c_dim == 0:
+            return 0
+        return self.cmap_dim if self.cmap_dim is not None else self.channels(4)
+
+
+# ----------------------------------------------------------------------------
+# Initialization
+
+
+def _init_fc(key, in_features: int, out_features: int, lr_multiplier: float = 1.0,
+             bias: bool = True, bias_init: float = 0.0) -> Params:
+    p = {"weight": jax.random.normal(key, (out_features, in_features),
+                                     dtype=jnp.float32) / lr_multiplier}
+    if bias:
+        p["bias"] = jnp.full((out_features,), float(bias_init), dtype=jnp.float32)
+    return p
+
+
+def _init_conv(key, in_channels: int, out_channels: int, kernel: int,
+               bias: bool = True) -> Params:
+    p = {"weight": jax.random.normal(
+        key, (out_channels, in_channels, kernel, kernel), dtype=jnp.float32)}
+    if bias:
+        p["bias"] = jnp.zeros((out_channels,), dtype=jnp.float32)
+    return p
+
+
+def init_mapping(key, cfg: MappingConfig) -> Params:
+    keys = jax.random.split(key, cfg.num_layers + 1)
+    params: Params = {}
+    if cfg.c_dim > 0:
+        params["embed"] = _init_fc(keys[-1], cfg.c_dim, cfg.resolved_embed_features)
+    feats = cfg.features_list
+    for idx in range(cfg.num_layers):
+        params[f"fc{idx}"] = _init_fc(
+            keys[idx], feats[idx], feats[idx + 1], lr_multiplier=cfg.lr_multiplier)
+    if cfg.num_ws is not None and cfg.w_avg_beta is not None:
+        params["w_avg"] = jnp.zeros((cfg.w_dim,), dtype=jnp.float32)
+    return params
+
+
+def _init_synthesis_layer(key, in_channels: int, out_channels: int, w_dim: int,
+                          resolution: int, kernel: int = 3,
+                          use_noise: bool = True) -> Params:
+    k_w, k_a = jax.random.split(key)
+    p = _init_conv(k_w, in_channels, out_channels, kernel)
+    p["affine"] = _init_fc(k_a, w_dim, in_channels, bias_init=1.0)
+    if use_noise:
+        p["noise_const"] = jax.random.normal(
+            jax.random.fold_in(key, 7), (resolution, resolution), dtype=jnp.float32)
+        p["noise_strength"] = jnp.zeros((), dtype=jnp.float32)
+    return p
+
+
+def _init_torgb_layer(key, in_channels: int, out_channels: int, w_dim: int) -> Params:
+    k_w, k_a = jax.random.split(key)
+    p = _init_conv(k_w, in_channels, out_channels, 1)
+    p["affine"] = _init_fc(k_a, w_dim, in_channels, bias_init=1.0)
+    return p
+
+
+def init_synthesis(key, cfg: SynthesisConfig) -> Params:
+    params: Params = {}
+    for res in cfg.block_resolutions:
+        bkey = jax.random.fold_in(key, res)
+        ks = jax.random.split(bkey, 8)
+        block: Params = {}
+        out_ch = cfg.channels(res)
+        if res == 4:
+            block["const"] = jax.random.normal(ks[0], (out_ch, res, res),
+                                               dtype=jnp.float32)
+            block["conv1"] = _init_synthesis_layer(
+                ks[1], out_ch, out_ch, cfg.w_dim, res, use_noise=cfg.use_noise)
+        else:
+            in_ch = cfg.channels(res // 2)
+            block["conv0"] = _init_synthesis_layer(
+                ks[1], in_ch, out_ch, cfg.w_dim, res, use_noise=cfg.use_noise)
+            block["conv1"] = _init_synthesis_layer(
+                ks[2], out_ch, out_ch, cfg.w_dim, res, use_noise=cfg.use_noise)
+            if cfg.architecture == "resnet":
+                block["skip"] = _init_conv(ks[4], in_ch, out_ch, 1, bias=False)
+        if cfg.architecture == "skip" or res == cfg.img_resolution:
+            block["torgb"] = _init_torgb_layer(ks[3], out_ch, cfg.img_channels,
+                                               cfg.w_dim)
+        params[f"b{res}"] = block
+    return params
+
+
+def init_generator(key, cfg: GeneratorConfig) -> Params:
+    k_m, k_s = jax.random.split(key)
+    return {
+        "mapping": init_mapping(k_m, cfg.mapping),
+        "synthesis": init_synthesis(k_s, cfg.synthesis),
+    }
+
+
+def init_discriminator(key, cfg: DiscriminatorConfig) -> Params:
+    params: Params = {}
+    for res in cfg.block_resolutions:
+        bkey = jax.random.fold_in(key, res)
+        ks = jax.random.split(bkey, 4)
+        block: Params = {}
+        in_ch = cfg.channels(res) if res < cfg.img_resolution else 0
+        tmp_ch = cfg.channels(res)
+        out_ch = cfg.channels(res // 2)
+        if in_ch == 0 or cfg.architecture == "skip":
+            block["fromrgb"] = _init_conv(ks[0], cfg.img_channels, tmp_ch, 1)
+        block["conv0"] = _init_conv(ks[1], tmp_ch, tmp_ch, 3)
+        block["conv1"] = _init_conv(ks[2], tmp_ch, out_ch, 3)
+        if cfg.architecture == "resnet":
+            block["skip"] = _init_conv(ks[3], tmp_ch, out_ch, 1, bias=False)
+        params[f"b{res}"] = block
+
+    if cfg.c_dim > 0:
+        mcfg = dataclasses.replace(
+            cfg.mapping, z_dim=0, c_dim=cfg.c_dim, w_dim=cfg.resolved_cmap_dim,
+            num_ws=None, w_avg_beta=None)
+        params["mapping"] = init_mapping(jax.random.fold_in(key, 1), mcfg)
+
+    ek = jax.random.split(jax.random.fold_in(key, 2), 4)
+    ch4 = cfg.channels(4)
+    epilogue: Params = {}
+    if cfg.architecture == "skip":
+        epilogue["fromrgb"] = _init_conv(ek[0], cfg.img_channels, ch4, 1)
+    epilogue["conv"] = _init_conv(ek[1], ch4 + cfg.mbstd_num_channels, ch4, 3)
+    epilogue["fc"] = _init_fc(ek[2], ch4 * 16, ch4)
+    epilogue["out"] = _init_fc(
+        ek[3], ch4, 1 if cfg.resolved_cmap_dim == 0 else cfg.resolved_cmap_dim)
+    params["b4"] = epilogue
+    return params
+
+
+# ----------------------------------------------------------------------------
+# Primitive layer applies
+
+
+def fc_apply(p: Params, x: jax.Array, activation: str = "linear",
+             lr_multiplier: float = 1.0, weight_offset: Optional[jax.Array] = None,
+             weight_offset_mode: str = "none") -> jax.Array:
+    """FullyConnectedLayer forward (reference networks.py:674-704).
+
+    ``weight_offset`` implements AffineLight+ (low-rank offsets on the raw
+    affine weight, applied before the equalized-lr gain; networks.py:692).
+    """
+    w = p["weight"]
+    if weight_offset is not None:
+        if weight_offset_mode == "additive":
+            w = w + weight_offset
+        else:
+            w = (1.0 + weight_offset) * w
+    in_features = w.shape[1]
+    w = w.astype(x.dtype) * (lr_multiplier / np.sqrt(in_features))
+    x = jnp.matmul(x, w.T, precision=jax.lax.Precision.HIGHEST)
+    b = p.get("bias")
+    if b is not None and lr_multiplier != 1.0:
+        b = b * lr_multiplier
+    return bias_act(x, b, act=activation)
+
+
+def conv2d_layer_apply(p: Params, x: jax.Array, cfg_activation: str = "linear",
+                       up: int = 1, down: int = 1,
+                       resample_filter: Optional[jax.Array] = None,
+                       conv_clamp: Optional[float] = None,
+                       gain: float = 1.0) -> jax.Array:
+    """Conv2dLayer forward (reference networks.py:710-760)."""
+    w = p["weight"]
+    out_ch, in_ch, kh, kw = w.shape
+    w = w * (1.0 / np.sqrt(in_ch * kh * kw))
+    x = conv2d_resample(
+        x, w.astype(x.dtype), f=resample_filter, up=up, down=down,
+        padding=kh // 2, flip_weight=(up == 1))
+    spec = activation_funcs[cfg_activation]
+    act_gain = spec.def_gain * gain
+    act_clamp = conv_clamp * gain if conv_clamp is not None else None
+    b = p.get("bias")
+    return bias_act(x, b.astype(x.dtype) if b is not None else None,
+                              act=cfg_activation, gain=act_gain, clamp=act_clamp)
+
+
+def normalize_2nd_moment(x: jax.Array, axis: int = 1, eps: float = 1e-8) -> jax.Array:
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=axis, keepdims=True) + eps)
+
+
+# ----------------------------------------------------------------------------
+# Mapping network
+
+
+def mapping_apply(
+    cfg: MappingConfig,
+    params: Params,
+    z: Optional[jax.Array],
+    c: Optional[jax.Array] = None,
+    truncation_psi: float = 1.0,
+    truncation_cutoff: Optional[int] = None,
+    broadcast: bool = True,
+) -> jax.Array:
+    """MappingNetwork forward (reference networks.py:766-842).
+
+    Returns ws of shape [N, num_ws, w_dim] (broadcast) or [N, w_dim].
+    The w_avg moving average is read from ``params['w_avg']``; updating it is
+    the trainer's job (use ``jnp.mean(ws[:, 0], axis=0)`` and a functional lerp).
+    """
+    x = None
+    if cfg.z_dim > 0:
+        x = normalize_2nd_moment(z.astype(jnp.float32))
+    if cfg.c_dim > 0:
+        y = normalize_2nd_moment(fc_apply(params["embed"], c.astype(jnp.float32)))
+        x = jnp.concatenate([x, y], axis=1) if x is not None else y
+
+    for idx in range(cfg.num_layers):
+        x = fc_apply(params[f"fc{idx}"], x, activation=cfg.activation,
+                     lr_multiplier=cfg.lr_multiplier)
+
+    if broadcast and cfg.num_ws is not None:
+        x = jnp.repeat(x[:, None, :], cfg.num_ws, axis=1)
+
+    if truncation_psi != 1.0:
+        w_avg = params["w_avg"]
+        if cfg.num_ws is None or truncation_cutoff is None:
+            x = w_avg + truncation_psi * (x - w_avg)
+        else:
+            head = w_avg + truncation_psi * (x[:, :truncation_cutoff] - w_avg)
+            x = jnp.concatenate([head, x[:, truncation_cutoff:]], axis=1)
+    return x
+
+
+# ----------------------------------------------------------------------------
+# Synthesis network
+
+# Per-layer transform hooks supplied by the offsets/parameterization system
+# (gagan_tpu.params.offsets).  Keys are layer names from
+# SynthesisConfig.layer_names(); values are dicts of transform callables that
+# close over offset parameters.  Everything here stays jit-compatible because
+# the hook *structure* is static — only the closed-over arrays are traced.
+LayerHooks = Dict[str, Dict[str, Any]]
+
+
+def _apply_hook(hooks: Optional[LayerHooks], layer_name: str, kind: str, value,
+                default=None):
+    if hooks is None:
+        return value if default is None else default(value)
+    h = hooks.get(layer_name, {})
+    fn = h.get(kind)
+    if fn is None:
+        return value if default is None else default(value)
+    return fn(value)
+
+
+def _layer_styles(
+    cfg: SynthesisConfig,
+    lp: Params,
+    w: jax.Array,
+    weight_gain: float,
+    layer_name: str,
+    hooks: Optional[LayerHooks],
+) -> jax.Array:
+    """w -> s: affine + offsets (reference w_to_s, networks.py:474-532)."""
+    if hooks is not None and "w" in hooks.get(layer_name, {}):
+        w = hooks[layer_name]["w"](w)
+    affine_offset = None
+    affine_mode = "none"
+    if hooks is not None and "affine_weight" in hooks.get(layer_name, {}):
+        affine_offset, affine_mode = hooks[layer_name]["affine_weight"]
+    styles = fc_apply(lp["affine"], w, weight_offset=affine_offset,
+                      weight_offset_mode=affine_mode)
+    if weight_gain != 1.0:
+        styles = styles * weight_gain
+    if hooks is not None and "style" in hooks.get(layer_name, {}):
+        styles = hooks[layer_name]["style"](styles)
+    return styles
+
+
+def _layer_weight(lp: Params, layer_name: str, hooks: Optional[LayerHooks]):
+    weight = lp["weight"]
+    if hooks is not None and "weight" in hooks.get(layer_name, {}):
+        weight = hooks[layer_name]["weight"](weight)
+    return weight
+
+
+def synthesis_layer_apply(
+    cfg: SynthesisConfig,
+    lp: Params,
+    x: jax.Array,
+    w: jax.Array,
+    resolution: int,
+    up: int,
+    resample_filter: jax.Array,
+    layer_name: str,
+    noise_mode: str = "random",
+    rng: Optional[jax.Array] = None,
+    gain: float = 1.0,
+    hooks: Optional[LayerHooks] = None,
+) -> jax.Array:
+    """SynthesisLayer forward (reference networks.py:848-922)."""
+    styles = _layer_styles(cfg, lp, w, 1.0, layer_name, hooks)
+    weight = _layer_weight(lp, layer_name, hooks)
+
+    noise = None
+    if cfg.use_noise and noise_mode == "random":
+        noise = jax.random.normal(
+            rng, (x.shape[0], 1, resolution, resolution), dtype=jnp.float32
+        ) * lp["noise_strength"]
+    elif cfg.use_noise and noise_mode == "const":
+        noise = lp["noise_const"] * lp["noise_strength"]
+
+    x = modulated_conv2d(
+        x, weight, styles,
+        noise=None, up=up, padding=weight.shape[-1] // 2,
+        resample_filter=resample_filter, flip_weight=(up == 1))
+    if noise is not None:
+        x = x + noise.astype(x.dtype)
+
+    spec = activation_funcs[cfg.activation]
+    act_gain = spec.def_gain * gain
+    act_clamp = cfg.conv_clamp * gain if cfg.conv_clamp is not None else None
+    return bias_act(x, lp["bias"].astype(x.dtype), act=cfg.activation,
+                              gain=act_gain, clamp=act_clamp)
+
+
+def torgb_layer_apply(
+    cfg: SynthesisConfig,
+    lp: Params,
+    x: jax.Array,
+    w: jax.Array,
+    layer_name: str,
+    hooks: Optional[LayerHooks] = None,
+) -> jax.Array:
+    """ToRGBLayer forward (reference networks.py:928-963)."""
+    in_ch = lp["weight"].shape[1]
+    kernel = lp["weight"].shape[-1]
+    weight_gain = 1.0 / np.sqrt(in_ch * kernel ** 2)
+    styles = _layer_styles(cfg, lp, w, weight_gain, layer_name, hooks)
+    weight = _layer_weight(lp, layer_name, hooks)
+    x = modulated_conv2d(x, weight, styles, demodulate=False)
+    return bias_act(x, lp["bias"].astype(x.dtype), clamp=cfg.conv_clamp)
+
+
+def synthesis_apply(
+    cfg: SynthesisConfig,
+    params: Params,
+    ws: jax.Array,
+    noise_mode: str = "const",
+    rng: Optional[jax.Array] = None,
+    hooks: Optional[LayerHooks] = None,
+    force_fp32: bool = False,
+) -> jax.Array:
+    """SynthesisNetwork forward (reference networks.py:1080-1132)."""
+    assert noise_mode in ("random", "const", "none")
+    if noise_mode == "random":
+        assert rng is not None
+    resample_filter = setup_filter(cfg.resample_filter)
+    batch = ws.shape[0]
+    ws = ws.astype(jnp.float32)
+
+    x = None
+    img = None
+    w_idx = 0
+    for res in cfg.block_resolutions:
+        block = params[f"b{res}"]
+        dtype = (jnp.bfloat16 if res >= cfg.bf16_resolution and not force_fp32
+                 else jnp.float32)
+        num_conv = 1 if res == 4 else 2
+        block_ws = [ws[:, w_idx + i] for i in range(num_conv + 1)]
+        w_idx += num_conv
+
+        def lrng(name):
+            return jax.random.fold_in(rng, hash(name) % (2 ** 31)) if rng is not None else None
+
+        if res == 4:
+            x = jnp.repeat(block["const"].astype(dtype)[None], batch, axis=0)
+            x = synthesis_layer_apply(
+                cfg, block["conv1"], x, block_ws[0], res, 1, resample_filter,
+                f"b{res}.conv1", noise_mode, lrng(f"b{res}.conv1"), hooks=hooks)
+        else:
+            x = x.astype(dtype)
+            x = synthesis_layer_apply(
+                cfg, block["conv0"], x, block_ws[0], res, 2, resample_filter,
+                f"b{res}.conv0", noise_mode, lrng(f"b{res}.conv0"), hooks=hooks)
+            x = synthesis_layer_apply(
+                cfg, block["conv1"], x, block_ws[1], res, 1, resample_filter,
+                f"b{res}.conv1", noise_mode, lrng(f"b{res}.conv1"), hooks=hooks)
+
+        if img is not None:
+            img = upsample2d(img, resample_filter)
+        if cfg.architecture == "skip" or res == cfg.img_resolution:
+            y = torgb_layer_apply(cfg, params[f"b{res}"]["torgb"], x,
+                                  block_ws[num_conv], f"b{res}.torgb", hooks=hooks)
+            y = y.astype(jnp.float32)
+            img = y if img is None else img + y
+    return img
+
+
+def generator_apply(
+    cfg: GeneratorConfig,
+    params: Params,
+    z: jax.Array,
+    c: Optional[jax.Array] = None,
+    truncation_psi: float = 1.0,
+    truncation_cutoff: Optional[int] = None,
+    noise_mode: str = "const",
+    rng: Optional[jax.Array] = None,
+    hooks: Optional[LayerHooks] = None,
+    force_fp32: bool = False,
+) -> jax.Array:
+    ws = mapping_apply(cfg.mapping, params["mapping"], z, c,
+                       truncation_psi=truncation_psi,
+                       truncation_cutoff=truncation_cutoff)
+    return synthesis_apply(cfg.synthesis, params["synthesis"], ws,
+                           noise_mode=noise_mode, rng=rng, hooks=hooks,
+                           force_fp32=force_fp32)
+
+
+# ----------------------------------------------------------------------------
+# StyleSpace access
+
+
+def generator_styles(
+    cfg: SynthesisConfig,
+    params: Params,
+    ws: jax.Array,
+    hooks: Optional[LayerHooks] = None,
+) -> List[jax.Array]:
+    """Per-layer style vectors in layer_names() order (S space).
+
+    Mirrors `get_s_code` (`offsets_model.py:407`) — the ToRGB styles include
+    the weight_gain factor exactly as the reference's forward does.
+    """
+    styles = []
+    w_idx = 0
+    for res in cfg.block_resolutions:
+        block = params[f"b{res}"]
+        num_conv = 1 if res == 4 else 2
+        names = ([f"b{res}.conv1"] if res == 4 else
+                 [f"b{res}.conv0", f"b{res}.conv1"])
+        for i, name in enumerate(names):
+            lp = block[name.split(".")[1]]
+            styles.append(_layer_styles(cfg, lp, ws[:, w_idx + i], 1.0, name, hooks))
+        if cfg.architecture == "skip" or res == cfg.img_resolution:
+            lp = block["torgb"]
+            in_ch = lp["weight"].shape[1]
+            k = lp["weight"].shape[-1]
+            styles.append(_layer_styles(cfg, lp, ws[:, w_idx + num_conv],
+                                        1.0 / np.sqrt(in_ch * k ** 2),
+                                        f"b{res}.torgb", hooks))
+        w_idx += num_conv
+    return styles
+
+
+def synthesis_from_styles(
+    cfg: SynthesisConfig,
+    params: Params,
+    styles: Sequence[jax.Array],
+    noise_mode: str = "const",
+    rng: Optional[jax.Array] = None,
+    hooks: Optional[LayerHooks] = None,
+) -> jax.Array:
+    """Forward from explicit per-layer S-space styles (`forward_with_s`,
+    offsets_model.py:569)."""
+    resample_filter = setup_filter(cfg.resample_filter)
+    styles = list(styles)
+    batch = styles[0].shape[0]
+
+    def layer_fwd(lp, x, s, res, up, name, demodulate=True, gain=1.0):
+        weight = _layer_weight(lp, name, hooks)
+        noise = None
+        if demodulate and cfg.use_noise:
+            if noise_mode == "random":
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng, hash(name) % (2 ** 31)),
+                    (x.shape[0], 1, res, res), dtype=jnp.float32,
+                ) * lp["noise_strength"]
+            elif noise_mode == "const":
+                noise = lp["noise_const"] * lp["noise_strength"]
+        x = modulated_conv2d(
+            x, weight, s, up=up, padding=weight.shape[-1] // 2,
+            resample_filter=resample_filter if up > 1 else None,
+            demodulate=demodulate, flip_weight=(up == 1))
+        if noise is not None:
+            x = x + noise.astype(x.dtype)
+        if demodulate:
+            spec = activation_funcs[cfg.activation]
+            return bias_act(x, lp["bias"].astype(x.dtype),
+                                      act=cfg.activation,
+                                      gain=spec.def_gain * gain,
+                                      clamp=cfg.conv_clamp)
+        return bias_act(x, lp["bias"].astype(x.dtype),
+                                  clamp=cfg.conv_clamp)
+
+    idx = 0
+    x = None
+    img = None
+    for res in cfg.block_resolutions:
+        block = params[f"b{res}"]
+        if res == 4:
+            x = jnp.repeat(block["const"].astype(jnp.float32)[None], batch, axis=0)
+            x = layer_fwd(block["conv1"], x, styles[idx], res, 1, f"b{res}.conv1")
+            idx += 1
+        else:
+            x = layer_fwd(block["conv0"], x, styles[idx], res, 2, f"b{res}.conv0")
+            idx += 1
+            x = layer_fwd(block["conv1"], x, styles[idx], res, 1, f"b{res}.conv1")
+            idx += 1
+        if img is not None:
+            img = upsample2d(img, resample_filter)
+        if cfg.architecture == "skip" or res == cfg.img_resolution:
+            y = layer_fwd(block["torgb"], x, styles[idx], res, 1,
+                          f"b{res}.torgb", demodulate=False)
+            idx += 1
+            img = y.astype(jnp.float32) if img is None else img + y.astype(jnp.float32)
+    return img
+
+
+# ----------------------------------------------------------------------------
+# Discriminator
+
+
+def minibatch_std(x: jax.Array, group_size: Optional[int],
+                  num_channels: int = 1) -> jax.Array:
+    """MinibatchStdLayer (reference networks.py:1278-1301)."""
+    N, C, H, W = x.shape
+    G = min(group_size, N) if group_size is not None else N
+    F = num_channels
+    c = C // F
+    y = x.reshape(G, -1, F, c, H, W).astype(jnp.float32)
+    y = y - jnp.mean(y, axis=0)
+    y = jnp.mean(jnp.square(y), axis=0)
+    y = jnp.sqrt(y + 1e-8)
+    y = jnp.mean(y, axis=(2, 3, 4))
+    y = y.reshape(-1, F, 1, 1).astype(x.dtype)
+    y = jnp.tile(y, (G, 1, H, W))
+    return jnp.concatenate([x, y], axis=1)
+
+
+def discriminator_apply(
+    cfg: DiscriminatorConfig,
+    params: Params,
+    img: jax.Array,
+    c: Optional[jax.Array] = None,
+    force_fp32: bool = False,
+) -> jax.Array:
+    """Discriminator forward (reference networks.py:1373-1437)."""
+    resample_filter = setup_filter(cfg.resample_filter)
+    x = None
+    for res in cfg.block_resolutions:
+        block = params[f"b{res}"]
+        dtype = (jnp.bfloat16 if res >= cfg.bf16_resolution and not force_fp32
+                 else jnp.float32)
+        if x is not None:
+            x = x.astype(dtype)
+        if "fromrgb" in block:
+            img_c = img.astype(dtype)
+            y = conv2d_layer_apply(block["fromrgb"], img_c, cfg.activation,
+                                   conv_clamp=cfg.conv_clamp)
+            x = x + y if x is not None else y
+            if cfg.architecture == "skip":
+                img = downsample2d(img, resample_filter)
+            else:
+                img = None
+        if cfg.architecture == "resnet":
+            y = conv2d_layer_apply(block["skip"], x, "linear", down=2,
+                                   resample_filter=resample_filter,
+                                   gain=float(np.sqrt(0.5)))
+            x = conv2d_layer_apply(block["conv0"], x, cfg.activation,
+                                   conv_clamp=cfg.conv_clamp)
+            x = conv2d_layer_apply(block["conv1"], x, cfg.activation, down=2,
+                                   resample_filter=resample_filter,
+                                   conv_clamp=cfg.conv_clamp,
+                                   gain=float(np.sqrt(0.5)))
+            x = y + x
+        else:
+            x = conv2d_layer_apply(block["conv0"], x, cfg.activation,
+                                   conv_clamp=cfg.conv_clamp)
+            x = conv2d_layer_apply(block["conv1"], x, cfg.activation, down=2,
+                                   resample_filter=resample_filter,
+                                   conv_clamp=cfg.conv_clamp)
+
+    cmap = None
+    if cfg.c_dim > 0:
+        mcfg = dataclasses.replace(
+            cfg.mapping, z_dim=0, c_dim=cfg.c_dim, w_dim=cfg.resolved_cmap_dim,
+            num_ws=None, w_avg_beta=None)
+        cmap = mapping_apply(mcfg, params["mapping"], None, c, broadcast=False)
+
+    # Epilogue (reference networks.py:1307-1367).
+    ep = params["b4"]
+    x = x.astype(jnp.float32)
+    if cfg.architecture == "skip":
+        x = x + conv2d_layer_apply(ep["fromrgb"], img.astype(jnp.float32),
+                                   cfg.activation)
+    if cfg.mbstd_num_channels > 0:
+        x = minibatch_std(x, cfg.mbstd_group_size, cfg.mbstd_num_channels)
+    x = conv2d_layer_apply(ep["conv"], x, cfg.activation, conv_clamp=cfg.conv_clamp)
+    x = fc_apply(ep["fc"], x.reshape(x.shape[0], -1), activation=cfg.activation)
+    x = fc_apply(ep["out"], x)
+
+    if cfg.resolved_cmap_dim > 0:
+        x = jnp.sum(x * cmap, axis=1, keepdims=True) * (
+            1.0 / np.sqrt(cfg.resolved_cmap_dim))
+    return x

@@ -1,0 +1,22 @@
+"""Core TPU ops: resampling, fused bias/activation, modulated convolution."""
+
+from .bias_act import activation_funcs, bias_act
+from .conv2d_resample import conv2d_resample
+from .modulated_conv2d import modulated_conv2d
+from .upfirdn2d import (
+    downsample2d,
+    setup_filter,
+    upfirdn2d,
+    upsample2d,
+)
+
+__all__ = [
+    "activation_funcs",
+    "bias_act",
+    "conv2d_resample",
+    "downsample2d",
+    "modulated_conv2d",
+    "setup_filter",
+    "upfirdn2d",
+    "upsample2d",
+]

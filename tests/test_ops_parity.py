@@ -1,0 +1,189 @@
+"""Bit-parity of gagan_tpu.ops against the reference pure-PyTorch fallbacks."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from gagan_tpu import ops
+
+from . import oracle
+
+ref_upfirdn2d, ref_bias_act, ref_conv2d_resample = oracle.ref_ops()
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+@pytest.mark.parametrize("up,down,padding", [
+    (1, 1, 0),
+    (1, 1, 2),
+    (2, 1, 1),
+    (1, 2, 1),
+    (2, 1, (2, 1)),
+    (1, 1, (1, 2, 3, 4)),
+    (2, 2, (1, 1, 1, 1)),
+    (1, 1, (-1, -1, -1, -1)),
+    (2, 1, (-1, 2, 0, -2)),
+    (4, 1, 2),
+    (1, 4, 2),
+])
+@pytest.mark.parametrize("sep", [True, False])
+def test_upfirdn2d_parity(up, down, padding, sep):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 12, 12).astype(np.float32)
+    taps = np.asarray([1.0, 3.0, 3.0, 1.0], dtype=np.float32)
+    f_t = ref_upfirdn2d.setup_filter(taps if sep else np.outer(taps, taps))
+    f_j = ops.setup_filter(taps if sep else np.outer(taps, taps))
+    assert f_t.ndim == f_j.ndim
+
+    want = t2n(ref_upfirdn2d._upfirdn2d_ref(
+        torch.from_numpy(x), f_t, up=up, down=down, padding=padding, gain=1.5))
+    got = np.asarray(ops.upfirdn2d(jnp.asarray(x), f_j, up=up, down=down,
+                                   padding=padding, gain=1.5))
+    assert want.shape == got.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("flip_filter", [False, True])
+def test_upfirdn2d_flip_filter(flip_filter):
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 2, 9, 9).astype(np.float32)
+    f = np.asarray([[1.0, 2.0], [3.0, 4.0]], dtype=np.float32)
+    f_t = ref_upfirdn2d.setup_filter(f)
+    f_j = ops.setup_filter(f)
+    want = t2n(ref_upfirdn2d._upfirdn2d_ref(
+        torch.from_numpy(x), f_t, up=2, padding=1, flip_filter=flip_filter))
+    got = np.asarray(ops.upfirdn2d(jnp.asarray(x), f_j, up=2, padding=1,
+                                   flip_filter=flip_filter))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_up_down_sample2d_parity():
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 4, 8, 8).astype(np.float32)
+    f_t = ref_upfirdn2d.setup_filter([1, 3, 3, 1])
+    f_j = ops.setup_filter([1, 3, 3, 1])
+    want = t2n(ref_upfirdn2d.upsample2d(torch.from_numpy(x), f_t, impl="ref"))
+    got = np.asarray(ops.upsample2d(jnp.asarray(x), f_j))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    want = t2n(ref_upfirdn2d.downsample2d(torch.from_numpy(x), f_t, impl="ref"))
+    got = np.asarray(ops.downsample2d(jnp.asarray(x), f_j))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("act", sorted(ops.activation_funcs))
+@pytest.mark.parametrize("gain,clamp", [(None, None), (0.5, None), (None, 0.4), (2.0, 1.0)])
+def test_bias_act_parity(act, gain, clamp):
+    rng = np.random.RandomState(3)
+    x = rng.randn(4, 8, 5, 5).astype(np.float32)
+    b = rng.randn(8).astype(np.float32)
+    want = t2n(ref_bias_act._bias_act_ref(
+        torch.from_numpy(x), torch.from_numpy(b), act=act, gain=gain, clamp=clamp))
+    got = np.asarray(ops.bias_act(jnp.asarray(x), jnp.asarray(b), act=act,
+                                  gain=gain, clamp=clamp))
+    # XLA CPU's vectorized transcendentals (exp/log1p/tanh) differ from libm
+    # by ~1e-4 relative; piecewise-linear activations must match tightly.
+    tol = 1e-5 if act in ("linear", "relu", "lrelu") else 5e-4
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol)
+
+
+def test_bias_act_dim():
+    rng = np.random.RandomState(4)
+    x = rng.randn(4, 6).astype(np.float32)
+    b = rng.randn(6).astype(np.float32)
+    want = t2n(ref_bias_act._bias_act_ref(
+        torch.from_numpy(x), torch.from_numpy(b), dim=1, act="lrelu"))
+    got = np.asarray(ops.bias_act(jnp.asarray(x), jnp.asarray(b), dim=1, act="lrelu"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kernel,up,down,padding,flip_weight", [
+    (3, 1, 1, 1, True),
+    (3, 2, 1, 1, False),   # synthesis up-conv configuration
+    (3, 1, 2, 1, True),    # discriminator down-conv configuration
+    (1, 1, 1, 0, True),    # torgb
+    (1, 1, 2, 0, True),    # discriminator 1x1 skip with down
+    (1, 2, 1, 0, False),   # 1x1 with up
+    (4, 2, 1, 0, False),
+    (3, 2, 2, 1, False),
+    (3, 4, 1, 1, False),
+])
+def test_conv2d_resample_parity(kernel, up, down, padding, flip_weight):
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 5, 16, 16).astype(np.float32)
+    w = rng.randn(7, 5, kernel, kernel).astype(np.float32)
+    f_t = ref_upfirdn2d.setup_filter([1, 3, 3, 1])
+    f_j = ops.setup_filter([1, 3, 3, 1])
+    want = t2n(ref_conv2d_resample.conv2d_resample(
+        torch.from_numpy(x), torch.from_numpy(w), f=f_t, up=up, down=down,
+        padding=padding, flip_weight=flip_weight))
+    got = np.asarray(ops.conv2d_resample(
+        jnp.asarray(x), jnp.asarray(w), f=f_j, up=up, down=down,
+        padding=padding, flip_weight=flip_weight))
+    assert want.shape == got.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_resample_groups():
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 6, 10, 10).astype(np.float32)
+    w = rng.randn(8, 3, 3, 3).astype(np.float32)  # 2 groups
+    want = t2n(ref_conv2d_resample.conv2d_resample(
+        torch.from_numpy(x), torch.from_numpy(w), padding=1, groups=2))
+    got = np.asarray(ops.conv2d_resample(jnp.asarray(x), jnp.asarray(w),
+                                         padding=1, groups=2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("demodulate,up,noise", [
+    (True, 1, False),
+    (True, 1, True),
+    (False, 1, False),
+    (True, 2, True),
+])
+def test_modulated_conv2d_parity(demodulate, up, noise):
+    # Oracle: the reference NVlabs modulated_conv2d in its non-fused branch
+    # (networks.py:641-653), which the fused grouped path equals exactly.
+    networks = oracle.ref_networks()
+    rng = np.random.RandomState(7)
+    n, ci, co, k, res = 2, 6, 9, 3, 8
+    x = rng.randn(n, ci, res, res).astype(np.float32)
+    w = rng.randn(co, ci, k, k).astype(np.float32)
+    s = rng.randn(n, ci).astype(np.float32)
+    nz = rng.randn(n, co, res * up, res * up).astype(np.float32) if noise else None
+    f_t = ref_upfirdn2d.setup_filter([1, 3, 3, 1])
+    f_j = ops.setup_filter([1, 3, 3, 1])
+
+    want = t2n(networks.modulated_conv2d(
+        x=torch.from_numpy(x), weight=torch.from_numpy(w),
+        styles=torch.from_numpy(s),
+        noise=torch.from_numpy(nz) if noise else None,
+        up=up, padding=k // 2, resample_filter=f_t if up > 1 else None,
+        demodulate=demodulate, flip_weight=(up == 1), fused_modconv=False))
+    got = np.asarray(ops.modulated_conv2d(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(s),
+        noise=jnp.asarray(nz) if noise else None,
+        up=up, padding=k // 2, resample_filter=f_j if up > 1 else None,
+        demodulate=demodulate, flip_weight=(up == 1)))
+    assert want.shape == got.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_modulated_conv2d_fused_equivalence():
+    # The reference's fused grouped-conv path must agree with our einsum form.
+    networks = oracle.ref_networks()
+    rng = np.random.RandomState(8)
+    n, ci, co, k, res = 3, 4, 5, 3, 8
+    x = rng.randn(n, ci, res, res).astype(np.float32)
+    w = rng.randn(co, ci, k, k).astype(np.float32)
+    s = rng.randn(n, ci).astype(np.float32)
+    want = t2n(networks.modulated_conv2d(
+        x=torch.from_numpy(x), weight=torch.from_numpy(w),
+        styles=torch.from_numpy(s), padding=1, fused_modconv=True))
+    got = np.asarray(ops.modulated_conv2d(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(s), padding=1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
