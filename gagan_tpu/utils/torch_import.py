@@ -50,3 +50,35 @@ def generator_params_from_nvlabs(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]
 def discriminator_params_from_nvlabs(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
     """NVlabs `Discriminator.state_dict()` -> gagan_tpu discriminator params."""
     return nest_state_dict(sd)
+
+
+def split_offsets(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Extract reference-embedded offset parameters into a separate pytree.
+
+    The reference registers offsets *inside* the generator modules
+    (`networks.py:140-420`); gagan_tpu keeps them in their own pytree keyed by
+    layer name ('b<res>.conv0' etc.).  Mutates ``params`` (removing the offset
+    leaves) and returns the offsets pytree.
+    """
+    offsets: Dict[str, Any] = {}
+    synthesis = params.get("synthesis", params)
+    for bname, block in synthesis.items():
+        if not isinstance(block, dict):
+            continue
+        for lname, layer in block.items():
+            if not isinstance(layer, dict):
+                continue
+            entry: Dict[str, Any] = {}
+            for k in [k for k in layer if k == "offset" or k.startswith("weights_offset")]:
+                entry[k] = layer.pop(k)
+            affine = layer.get("affine")
+            if isinstance(affine, dict):
+                aff_entry = {
+                    k: affine.pop(k)
+                    for k in [k for k in affine if k.startswith("weights_offset")]
+                }
+                if aff_entry:
+                    entry["affine"] = aff_entry
+            if entry:
+                offsets[f"{bname}.{lname}"] = entry
+    return offsets
