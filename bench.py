@@ -1,0 +1,66 @@
+"""Headline benchmark: FFHQ-1024 StyleGAN2 synthesis throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference stack (StyleGAN2-ADA PyTorch) synthesizes FFHQ-1024
+at roughly 35 imgs/sec on a single A100 (extrapolated from the V100 training
+tables in BASELINE.md — 1024² training at 6.1 imgs/sec/GPU with G+D+ADA+reg
+≈ 5-6x the cost of synthesis-only — and NVIDIA's published ~2x A100/V100
+speedup).  vs_baseline is measured imgs/sec/chip divided by that A100 number;
+the BASELINE.json target is vs_baseline >= 5.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_A100_IMGS_PER_SEC = 35.0
+
+
+def main():
+    from gagan_tpu.models import stylegan2 as sg2
+
+    batch = 8
+    cfg = sg2.GeneratorConfig(
+        img_resolution=1024,
+        synthesis=sg2.SynthesisConfig(num_fp16_res=4, conv_clamp=256),
+    )
+    params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def forward(params, z):
+        return sg2.generator_apply(cfg, params, z, noise_mode="const")
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (batch, cfg.z_dim))
+
+    def run_blocked():
+        out = forward(params, z)
+        # Force a device->host scalar transfer: on the axon-tunnel TPU
+        # platform block_until_ready alone returns before execution finishes
+        # and under-reports wall time by orders of magnitude.
+        return float(jnp.mean(out[0, 0, 0, :8]))
+
+    # Warmup / compile.
+    run_blocked()
+    run_blocked()
+
+    n_iters = 10
+    times = []
+    for _ in range(n_iters):
+        start = time.perf_counter()
+        run_blocked()
+        times.append(time.perf_counter() - start)
+    times = sorted(times)[1:-1]  # trim best/worst
+    imgs_per_sec = batch / (sum(times) / len(times))
+    print(json.dumps({
+        "metric": "ffhq1024_synthesis_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_A100_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""The ADA training step family: jit'd G/D phases with lazy regularization.
+
+TPU-native re-expression of the reference training loop's phase machinery
+(`DissimilarDomains/training/training_loop.py:287-537`):
+
+* Phases (Gmain / Greg / Dmain / Dreg) are separate jit'd pure steps; the
+  host scheduler runs reg phases every `*_reg_interval` batches exactly like
+  the reference's `batch_idx % phase.interval` gating.
+* Lazy-regularization hyperparameter scaling (lr * mb_ratio,
+  betas ** mb_ratio, training_loop.py:303-312) is applied when building the
+  optimizers.
+* EMA is a pytree lerp (buffers copied, training_loop.py:514-523); the
+  mapping w_avg and pl_mean buffers update functionally from step outputs.
+* The ADA p heuristic (training_loop.py:529-535) consumes the step's
+  'Loss/signs/real' metric on the host.
+* Selective training (requires-grad parts / Freeze-D) is optax.masked over
+  the masks from gagan_tpu.train.masks; gradients are nan-scrubbed like
+  training_loop.py:508-510.
+
+Data parallelism: every step is pure jnp — jit it with NamedSharding
+(params replicated, batch sharded over the 'data' axis) and XLA inserts the
+gradient all-reduce; see gagan_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from gagan_tpu.models import stylegan2 as sg2
+from gagan_tpu.train import gan_loss, masks as masks_lib
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    g_lr: float = 0.0025
+    d_lr: float = 0.0025
+    adam_beta1: float = 0.0
+    adam_beta2: float = 0.99
+    adam_eps: float = 1e-8
+    g_reg_interval: Optional[int] = 4
+    d_reg_interval: Optional[int] = 16
+    ema_kimg: float = 10.0
+    ema_rampup: Optional[float] = None
+    ada_target: Optional[float] = None    # None = no ADA adjustment
+    ada_interval: int = 4
+    ada_kimg: float = 500.0
+    batch_size: int = 32                  # global batch (for EMA/ADA rates)
+    loss: gan_loss.GANLossConfig = dataclasses.field(
+        default_factory=gan_loss.GANLossConfig)
+    g_requires_grad_parts: Tuple[str, ...] = ("all",)
+    d_requires_grad_parts: Tuple[str, ...] = ("all",)
+    freeze_d_layers: int = 0
+
+
+class TrainState(flax.struct.PyTreeNode):
+    g_params: Params
+    d_params: Params
+    g_ema: Params
+    g_opt_state: Any
+    d_opt_state: Any
+    pl_mean: jax.Array
+    ada_p: jax.Array
+    cur_nimg: jax.Array                  # int64 image counter
+
+
+def _lazy_scaled_adam(lr: float, betas: Tuple[float, float], eps: float,
+                      reg_interval: Optional[int]) -> optax.GradientTransformation:
+    if reg_interval is not None:
+        mb_ratio = reg_interval / (reg_interval + 1)
+        lr = lr * mb_ratio
+        betas = tuple(beta ** mb_ratio for beta in betas)
+    return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+
+
+def _masked(tx: optax.GradientTransformation, mask: Params):
+    """Apply ``tx`` to mask=True leaves, zero updates elsewhere.
+
+    (optax.masked alone passes masked-out gradients through as raw updates,
+    which would still modify frozen parameters.)
+    """
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels)
+
+
+def _scrub(grads):
+    """nan_to_num gradient scrub (training_loop.py:508-510)."""
+    return jax.tree.map(
+        lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads)
+
+
+def build_optimizers(cfg: TrainConfig, g_params: Params, d_params: Params):
+    g_mask = masks_lib.generator_mask(g_params, cfg.g_requires_grad_parts)
+    d_mask = masks_lib.discriminator_mask(
+        d_params, cfg.d_requires_grad_parts, cfg.freeze_d_layers)
+    g_tx = _masked(_lazy_scaled_adam(cfg.g_lr, (cfg.adam_beta1, cfg.adam_beta2),
+                                     cfg.adam_eps, cfg.g_reg_interval), g_mask)
+    d_tx = _masked(_lazy_scaled_adam(cfg.d_lr, (cfg.adam_beta1, cfg.adam_beta2),
+                                     cfg.adam_eps, cfg.d_reg_interval), d_mask)
+    return g_tx, d_tx, g_mask, d_mask
+
+
+def init_train_state(cfg: TrainConfig, g_params: Params, d_params: Params,
+                     g_tx, d_tx) -> TrainState:
+    return TrainState(
+        g_params=g_params,
+        d_params=d_params,
+        # Materialize a copy: aliasing g_params would make XLA see the same
+        # buffer donated twice when the step runs with donate_argnums.
+        g_ema=jax.tree.map(jnp.copy, g_params),
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+        pl_mean=jnp.zeros((), jnp.float32),
+        ada_p=jnp.zeros((), jnp.float32),
+        cur_nimg=jnp.zeros((), jnp.int32),
+    )
+
+
+def ema_update(g_params: Params, g_ema: Params, cur_nimg: jax.Array,
+               cfg: TrainConfig) -> Params:
+    """G_ema lerp; buffers copied outright (training_loop.py:514-523)."""
+    ema_nimg = cfg.ema_kimg * 1000.0
+    if cfg.ema_rampup is not None:
+        ema_nimg = jnp.minimum(ema_nimg, cur_nimg.astype(jnp.float32) *
+                               cfg.ema_rampup)
+    ema_beta = 0.5 ** (cfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
+
+    flat_p = jax.tree_util.tree_flatten_with_path(g_params)[0]
+    flat_e, treedef = jax.tree_util.tree_flatten_with_path(g_ema)
+    out = []
+    for (path_p, p), (path_e, e) in zip(flat_p, flat_e):
+        keys = tuple(getattr(k, "key", str(k)) for k in path_p)
+        if masks_lib.is_buffer(keys):
+            out.append(p)
+        else:
+            out.append(p + ema_beta * (e - p))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(g_ema), out)
+
+
+def make_phase_steps(
+    cfg: TrainConfig,
+    g_cfg: sg2.GeneratorConfig,
+    d_cfg: sg2.DiscriminatorConfig,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    augment_fn: gan_loss.AugmentFn = None,
+):
+    """Build the four phase step functions (not yet jitted)."""
+    lcfg = cfg.loss
+
+    def g_main_step(state: TrainState, z, c, key):
+        def loss_fn(g_params):
+            return gan_loss.g_main_loss(
+                lcfg, g_cfg, d_cfg, g_params, state.d_params, z, c, key,
+                augment_fn=augment_fn, ada_p=state.ada_p)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params)
+        grads = _scrub(grads)
+        updates, g_opt_state = g_tx.update(grads, state.g_opt_state,
+                                           state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        # Functional w_avg update (networks.py:824-827).
+        if g_cfg.mapping.w_avg_beta is not None:
+            beta = g_cfg.mapping.w_avg_beta
+            w_avg = g_params["mapping"]["w_avg"]
+            mean_w = metrics.pop("aux/mean_w")
+            g_params["mapping"]["w_avg"] = mean_w + beta * (w_avg - mean_w)
+        else:
+            metrics.pop("aux/mean_w", None)
+        return state.replace(g_params=g_params, g_opt_state=g_opt_state), metrics
+
+    def g_reg_step(state: TrainState, z, c, key):
+        gain = float(cfg.g_reg_interval or 1)
+
+        def loss_fn(g_params):
+            loss, metrics = gan_loss.g_pl_loss(
+                lcfg, g_cfg, g_params, z, c, key, state.pl_mean)
+            return loss * gain, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.g_params)
+        grads = _scrub(grads)
+        updates, g_opt_state = g_tx.update(grads, state.g_opt_state,
+                                           state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        pl_mean = metrics.pop("aux/pl_mean")
+        return state.replace(g_params=g_params, g_opt_state=g_opt_state,
+                             pl_mean=pl_mean), metrics
+
+    def d_main_step(state: TrainState, real_img, real_c, z, gen_c, key):
+        def loss_fn(d_params):
+            return gan_loss.d_main_loss(
+                lcfg, g_cfg, d_cfg, state.g_params, d_params, real_img, real_c,
+                z, gen_c, key, augment_fn=augment_fn, ada_p=state.ada_p)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.d_params)
+        grads = _scrub(grads)
+        updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
+                                           state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=d_params, d_opt_state=d_opt_state), metrics
+
+    def d_reg_step(state: TrainState, real_img, real_c, key):
+        gain = float(cfg.d_reg_interval or 1)
+
+        def loss_fn(d_params):
+            loss, metrics = gan_loss.d_r1_loss(
+                lcfg, d_cfg, d_params, real_img, real_c, key,
+                augment_fn=augment_fn, ada_p=state.ada_p)
+            return loss * gain, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.d_params)
+        grads = _scrub(grads)
+        updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
+                                           state.d_params)
+        d_params = optax.apply_updates(state.d_params, updates)
+        return state.replace(d_params=d_params, d_opt_state=d_opt_state), metrics
+
+    return g_main_step, g_reg_step, d_main_step, d_reg_step
+
+
+def make_fused_step(
+    cfg: TrainConfig,
+    g_cfg: sg2.GeneratorConfig,
+    d_cfg: sg2.DiscriminatorConfig,
+    g_tx,
+    d_tx,
+    augment_fn: gan_loss.AugmentFn = None,
+    do_g_reg: bool = True,
+    do_d_reg: bool = True,
+):
+    """One batch = Gmain [+Greg] + Dmain [+Dreg] + EMA + nimg bump.
+
+    The reg flags are static so the scheduler gets at most four compiled
+    variants; `cur_nimg` advances by cfg.batch_size (the global batch).
+    """
+    g_main, g_reg, d_main, d_reg = make_phase_steps(
+        cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn)
+
+    def step(state: TrainState, real_img, real_c, z, gen_c, key):
+        keys = jax.random.split(key, 4)
+        metrics: Dict[str, jax.Array] = {}
+        state, m = g_main(state, z, gen_c, keys[0])
+        metrics.update(m)
+        if do_g_reg and cfg.g_reg_interval is not None:
+            state, m = g_reg(state, z, gen_c, keys[1])
+            metrics.update(m)
+        state, m = d_main(state, real_img, real_c, z, gen_c, keys[2])
+        metrics.update(m)
+        if do_d_reg and cfg.d_reg_interval is not None:
+            state, m = d_reg(state, real_img, real_c, keys[3])
+            metrics.update(m)
+        cur_nimg = state.cur_nimg + cfg.batch_size
+        g_ema = ema_update(state.g_params, state.g_ema, cur_nimg, cfg)
+        return state.replace(g_ema=g_ema, cur_nimg=cur_nimg), metrics
+
+    return step
+
+
+def ada_update(cfg: TrainConfig, ada_p, real_signs_mean: float):
+    """ADA p adjustment, executed on host every ada_interval batches
+    (training_loop.py:529-535)."""
+    import numpy as np
+
+    adjust = np.sign(real_signs_mean - cfg.ada_target) * (
+        cfg.batch_size * cfg.ada_interval) / (cfg.ada_kimg * 1000)
+    return np.clip(float(ada_p) + adjust, 0.0, 1.0)

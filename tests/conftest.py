@@ -1,7 +1,10 @@
 import os
 
-# Configure JAX for CPU testing with a virtual 8-device mesh BEFORE jax imports.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force an 8-virtual-device CPU platform for tests.  NOTE: this environment
+# preloads an 'axon' TPU-tunnel JAX plugin via sitecustomize that registers
+# itself at interpreter start and overrides JAX_PLATFORMS — so we must both
+# set XLA_FLAGS (read at CPU-backend init) and force jax_platforms via
+# jax.config AFTER import.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -10,9 +13,16 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare against float32 torch-CPU oracles.
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Cache compiled executables across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert len(jax.devices()) >= 8, jax.devices()

@@ -16,6 +16,17 @@ for p in (DISSIMILAR, SIMILAR):
     if p not in sys.path:
         sys.path.insert(0, p)
 
+# The reference's grid_sample_gradfix imports pkg_resources, which modern
+# setuptools no longer ships; shim parse_version from packaging.
+if "pkg_resources" not in sys.modules:
+    import types
+
+    from packaging.version import parse as _parse_version
+
+    _shim = types.ModuleType("pkg_resources")
+    _shim.parse_version = _parse_version
+    sys.modules["pkg_resources"] = _shim
+
 _patched = False
 
 
@@ -30,9 +41,12 @@ def patch_reference():
     orig_assert = misc.assert_shape
     misc.assert_shape = lambda t, s: None if t is None else orig_assert(t, s)
     orig_up = _u.upsample2d
-    _u.upsample2d = (
-        lambda img, f, **kw: None if img is None else orig_up(img, f, **kw)
-    )
+
+    def _up(*args, **kw):
+        img = args[0] if args else kw.get("x", kw.get("img"))
+        return None if img is None else orig_up(*args, **kw)
+
+    _u.upsample2d = _up
     _patched = True
 
 

@@ -1,0 +1,207 @@
+"""Training-step tests: loss parity vs reference StyleGAN2Loss, phase steps,
+EMA, masks, and the 8-device data-parallel mesh."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from gagan_tpu.models import stylegan2 as sg2
+from gagan_tpu.parallel import create_mesh, place_state, shard_batch, shard_train_step
+from gagan_tpu.train import gan_loss, masks as masks_lib, train_step as ts
+from gagan_tpu.utils import torch_import
+
+from . import oracle
+
+networks = oracle.ref_networks()
+
+
+def tiny_configs(res=16):
+    g_cfg = sg2.GeneratorConfig(
+        z_dim=32, w_dim=32, img_resolution=res, img_channels=3,
+        mapping=sg2.MappingConfig(num_layers=2),
+        synthesis=sg2.SynthesisConfig(channel_base=512, channel_max=32))
+    d_cfg = sg2.DiscriminatorConfig(
+        img_resolution=res, img_channels=3, channel_base=512, channel_max=32,
+        mbstd_group_size=2)
+    return g_cfg, d_cfg
+
+
+def ref_modules(res=16):
+    torch.manual_seed(0)
+    G = networks.Generator(
+        z_dim=32, c_dim=0, w_dim=32, img_resolution=res, img_channels=3,
+        mapping_kwargs=dict(num_layers=2),
+        synthesis_kwargs=dict(channel_base=512, channel_max=32))
+    D = networks.Discriminator(
+        c_dim=0, img_resolution=res, img_channels=3, channel_base=512,
+        channel_max=32, epilogue_kwargs=dict(mbstd_group_size=2))
+    return G, D
+
+
+def import_params(G, D):
+    sd = lambda m: {k: v.detach().cpu().numpy() for k, v in m.state_dict().items()}
+    return (torch_import.generator_params_from_nvlabs(sd(G)),
+            torch_import.discriminator_params_from_nvlabs(sd(D)))
+
+
+def test_g_main_loss_parity():
+    # With style mixing off and fixed fake images, G loss = softplus(-D(G(z)));
+    # compare against the reference loss on identical weights/latents.
+    G, D = ref_modules()
+    g_cfg, d_cfg = tiny_configs()
+    g_params, d_params = import_params(G, D)
+    lcfg = gan_loss.GANLossConfig(style_mixing_prob=0.0)
+    z = np.random.RandomState(0).randn(4, 32).astype(np.float32)
+
+    # Reference: run_G with noise_mode default 'random' — compare via 'const'
+    # by monkeypatching; easier is to run both paths without noise.
+    with torch.no_grad():
+        ws = G.mapping(torch.from_numpy(z), None)
+        img = G.synthesis(ws, noise_mode="none")
+        logits = D(img, None)
+        want = torch.nn.functional.softplus(-logits).mean().item()
+
+    ws_j = sg2.mapping_apply(g_cfg.mapping, g_params["mapping"], jnp.asarray(z))
+    img_j = sg2.synthesis_apply(g_cfg.synthesis, g_params["synthesis"], ws_j,
+                                noise_mode="none")
+    logits_j = sg2.discriminator_apply(d_cfg, d_params, img_j)
+    got = float(jnp.mean(gan_loss.softplus(-logits_j)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_r1_penalty_parity():
+    # R1 penalty = |d D(x) / dx|^2 summed per-sample; oracle via torch autograd.
+    G, D = ref_modules()
+    g_cfg, d_cfg = tiny_configs()
+    _, d_params = import_params(G, D)
+    img = np.random.RandomState(1).randn(4, 3, 16, 16).astype(np.float32)
+
+    x = torch.from_numpy(img).requires_grad_(True)
+    logits = D(x, None)
+    (r1_grads,) = torch.autograd.grad(outputs=[logits.sum()], inputs=[x])
+    want = r1_grads.square().sum([1, 2, 3]).mean().item() * (10.0 / 2)
+
+    lcfg = gan_loss.GANLossConfig()
+    loss, metrics = gan_loss.d_r1_loss(
+        lcfg, d_cfg, d_params, jnp.asarray(img), None, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(loss), want, rtol=1e-3, atol=1e-4)
+
+
+def test_style_mixing_shapes_and_prob():
+    g_cfg, _ = tiny_configs()
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    ws_nomix = gan_loss.run_mapping_with_mixing(
+        g_cfg, g_params, z, None, jax.random.PRNGKey(2), 0.0)
+    # prob=1 -> some suffix must differ from the unmixed ws
+    ws_mix = gan_loss.run_mapping_with_mixing(
+        g_cfg, g_params, z, None, jax.random.PRNGKey(2), 1.0)
+    assert ws_mix.shape == (2, g_cfg.num_ws, 32)
+    assert not bool(jnp.allclose(ws_mix, ws_nomix))
+    # prefix up to cutoff must match
+    assert bool(jnp.allclose(ws_mix[:, 0], ws_nomix[:, 0]))
+
+
+def test_fused_step_runs_and_improves_state():
+    g_cfg, d_cfg = tiny_configs()
+    cfg = ts.TrainConfig(batch_size=4, ema_kimg=0.01,
+                         loss=gan_loss.GANLossConfig(pl_batch_shrink=2))
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    g_tx, d_tx, g_mask, d_mask = ts.build_optimizers(cfg, g_params, d_params)
+    state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+    step = jax.jit(ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx))
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (4, 3, 16, 16))
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32))
+    state2, metrics = step(state, real, None, z, None, jax.random.PRNGKey(4))
+
+    assert int(state2.cur_nimg) == 4
+    for k in ("Loss/G/loss", "Loss/D/loss", "Loss/r1_penalty", "Loss/pl_penalty",
+              "Loss/signs/real"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    # Params actually moved.
+    delta = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         state.g_params, state2.g_params)
+    assert max(jax.tree.leaves(delta)) > 0
+    # Buffers did not get optimizer updates (w_avg moves only via its EMA rule).
+    nc0 = state.g_params["synthesis"]["b4"]["conv1"]["noise_const"]
+    nc1 = state2.g_params["synthesis"]["b4"]["conv1"]["noise_const"]
+    assert bool(jnp.array_equal(nc0, nc1))
+    # EMA tracked but distinct from live params after a step.
+    assert float(jnp.mean(jnp.abs(
+        state2.g_ema["synthesis"]["b4"]["conv1"]["weight"] -
+        state2.g_params["synthesis"]["b4"]["conv1"]["weight"]))) > 0
+
+
+def test_offsets_only_training_masks():
+    # synt_offset-style selective training: only offset leaves are trainable.
+    g_cfg, _ = tiny_configs()
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    mask = masks_lib.generator_mask(g_params, ("mapping", "synt_affine"))
+    assert mask["mapping"]["fc0"]["weight"] is True
+    assert mask["mapping"]["w_avg"] is False          # buffer
+    assert mask["synthesis"]["b4"]["conv1"]["affine"]["weight"] is True
+    assert mask["synthesis"]["b4"]["conv1"]["weight"] is False
+    assert mask["synthesis"]["b4"]["const"] is False
+
+    mask_res = masks_lib.generator_mask(g_params, ("synt_conv.b8",))
+    assert mask_res["synthesis"]["b8"]["conv0"]["weight"] is True
+    assert mask_res["synthesis"]["b16"]["conv0"]["weight"] is False
+
+
+def test_freeze_d_layers():
+    _, d_cfg = tiny_configs()
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(0), d_cfg)
+    mask = masks_lib.discriminator_mask(d_params, ("all",), freeze_layers=2)
+    # b16: fromrgb (0), conv0 (1) frozen; conv1 (2), skip (3) trainable.
+    assert mask["b16"]["fromrgb"]["weight"] is False
+    assert mask["b16"]["conv0"]["weight"] is False
+    assert mask["b16"]["conv1"]["weight"] is True
+    assert mask["b4"]["conv"]["weight"] is True
+
+
+def test_data_parallel_step_matches_single_device():
+    # The same fused step, jitted over an 8-device mesh with the batch
+    # sharded, must produce the same state as single-device execution.
+    g_cfg, d_cfg = tiny_configs()
+    cfg = ts.TrainConfig(batch_size=8)
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+    state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+    step_fn = ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx)
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (8, 3, 16, 16))
+    z = jax.random.normal(jax.random.PRNGKey(3), (8, 32))
+    key = jax.random.PRNGKey(4)
+
+    ref_state, ref_metrics = jax.jit(step_fn)(state, real, None, z, None, key)
+
+    assert len(jax.devices()) >= 8, "test requires the 8-device CPU mesh"
+    mesh = create_mesh(8)
+    assert mesh.devices.size == 8
+    dp_step = shard_train_step(step_fn, mesh, donate_state=False)
+    state_dp = place_state(mesh, state)
+    real_dp, z_dp = shard_batch(mesh, (real, z))
+    got_state, got_metrics = dp_step(state_dp, real_dp, None, z_dp, None, key)
+
+    np.testing.assert_allclose(
+        float(got_metrics["Loss/D/loss"]), float(ref_metrics["Loss/D/loss"]),
+        rtol=1e-4, atol=1e-5)
+    a = np.asarray(ref_state.g_params["synthesis"]["b4"]["conv1"]["weight"])
+    b = np.asarray(got_state.g_params["synthesis"]["b4"]["conv1"]["weight"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_ada_update_direction():
+    cfg = ts.TrainConfig(batch_size=8, ada_target=0.6, ada_interval=4,
+                         ada_kimg=500)
+    p = ts.ada_update(cfg, 0.5, real_signs_mean=0.9)   # overfit -> p up
+    assert p > 0.5
+    p = ts.ada_update(cfg, 0.5, real_signs_mean=0.1)   # underfit -> p down
+    assert p < 0.5
+    assert ts.ada_update(cfg, 0.0, real_signs_mean=0.0) == 0.0  # clipped
