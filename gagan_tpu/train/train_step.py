@@ -68,7 +68,12 @@ class TrainState(flax.struct.PyTreeNode):
     d_opt_state: Any
     pl_mean: jax.Array
     ada_p: jax.Array
-    cur_nimg: jax.Array                  # int64 image counter
+    cur_nimg: jax.Array                  # image counter
+    # Optional offsets parameterization (domain adaptation): trained jointly
+    # with the unfrozen generator parts during G phases.
+    offsets: Any = None
+    offsets_ema: Any = None
+    offsets_opt_state: Any = None
 
 
 def _lazy_scaled_adam(lr: float, betas: Tuple[float, float], eps: float,
@@ -153,55 +158,93 @@ def make_phase_steps(
     g_tx: optax.GradientTransformation,
     d_tx: optax.GradientTransformation,
     augment_fn: gan_loss.AugmentFn = None,
+    offsets_spec=None,
+    offsets_tx: Optional[optax.GradientTransformation] = None,
 ):
-    """Build the four phase step functions (not yet jitted)."""
+    """Build the four phase step functions (not yet jitted).
+
+    With ``offsets_spec``/``offsets_tx`` set, the G phases differentiate
+    jointly w.r.t. (g_params, offsets) with the offset hooks applied — the
+    domain-adaptation training mode (Affine+/AffineLight+/StyleSpace+,
+    reference README.md:149-212 protocol).
+    """
     lcfg = cfg.loss
+    if offsets_spec is not None:
+        from gagan_tpu.params import offsets as offs_lib
+
+        def make_hooks(offsets):
+            return offs_lib.make_hooks(offsets_spec, offsets)
+    else:
+        def make_hooks(offsets):
+            return None
 
     def g_main_step(state: TrainState, z, c, key):
-        def loss_fn(g_params):
+        def loss_fn(g_params, offsets):
             return gan_loss.g_main_loss(
                 lcfg, g_cfg, d_cfg, g_params, state.d_params, z, c, key,
-                augment_fn=augment_fn, ada_p=state.ada_p)
+                augment_fn=augment_fn, ada_p=state.ada_p,
+                hooks=make_hooks(offsets))
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.g_params)
-        grads = _scrub(grads)
-        updates, g_opt_state = g_tx.update(grads, state.g_opt_state,
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.g_params,
+                                                   state.offsets)
+        g_grads = _scrub(grads[0])
+        updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                            state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
+        state = state.replace(g_params=g_params, g_opt_state=g_opt_state)
+        if offsets_tx is not None:
+            o_grads = _scrub(grads[1])
+            o_updates, o_opt_state = offsets_tx.update(
+                o_grads, state.offsets_opt_state, state.offsets)
+            state = state.replace(
+                offsets=optax.apply_updates(state.offsets, o_updates),
+                offsets_opt_state=o_opt_state)
         # Functional w_avg update (networks.py:824-827).
+        g_params = state.g_params
         if g_cfg.mapping.w_avg_beta is not None:
             beta = g_cfg.mapping.w_avg_beta
             w_avg = g_params["mapping"]["w_avg"]
             mean_w = metrics.pop("aux/mean_w")
             g_params["mapping"]["w_avg"] = mean_w + beta * (w_avg - mean_w)
+            state = state.replace(g_params=g_params)
         else:
             metrics.pop("aux/mean_w", None)
-        return state.replace(g_params=g_params, g_opt_state=g_opt_state), metrics
+        return state, metrics
 
     def g_reg_step(state: TrainState, z, c, key):
         gain = float(cfg.g_reg_interval or 1)
 
-        def loss_fn(g_params):
+        def loss_fn(g_params, offsets):
             loss, metrics = gan_loss.g_pl_loss(
-                lcfg, g_cfg, g_params, z, c, key, state.pl_mean)
+                lcfg, g_cfg, g_params, z, c, key, state.pl_mean,
+                hooks=make_hooks(offsets))
             return loss * gain, metrics
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.g_params)
-        grads = _scrub(grads)
-        updates, g_opt_state = g_tx.update(grads, state.g_opt_state,
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.g_params,
+                                                   state.offsets)
+        g_grads = _scrub(grads[0])
+        updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                            state.g_params)
         g_params = optax.apply_updates(state.g_params, updates)
+        state = state.replace(g_params=g_params, g_opt_state=g_opt_state)
+        if offsets_tx is not None:
+            o_grads = _scrub(grads[1])
+            o_updates, o_opt_state = offsets_tx.update(
+                o_grads, state.offsets_opt_state, state.offsets)
+            state = state.replace(
+                offsets=optax.apply_updates(state.offsets, o_updates),
+                offsets_opt_state=o_opt_state)
         pl_mean = metrics.pop("aux/pl_mean")
-        return state.replace(g_params=g_params, g_opt_state=g_opt_state,
-                             pl_mean=pl_mean), metrics
+        return state.replace(pl_mean=pl_mean), metrics
 
     def d_main_step(state: TrainState, real_img, real_c, z, gen_c, key):
         def loss_fn(d_params):
             return gan_loss.d_main_loss(
                 lcfg, g_cfg, d_cfg, state.g_params, d_params, real_img, real_c,
-                z, gen_c, key, augment_fn=augment_fn, ada_p=state.ada_p)
+                z, gen_c, key, augment_fn=augment_fn, ada_p=state.ada_p,
+                hooks=make_hooks(state.offsets))
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.d_params)
@@ -240,6 +283,8 @@ def make_fused_step(
     augment_fn: gan_loss.AugmentFn = None,
     do_g_reg: bool = True,
     do_d_reg: bool = True,
+    offsets_spec=None,
+    offsets_tx=None,
 ):
     """One batch = Gmain [+Greg] + Dmain [+Dreg] + EMA + nimg bump.
 
@@ -247,7 +292,8 @@ def make_fused_step(
     variants; `cur_nimg` advances by cfg.batch_size (the global batch).
     """
     g_main, g_reg, d_main, d_reg = make_phase_steps(
-        cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn)
+        cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn,
+        offsets_spec=offsets_spec, offsets_tx=offsets_tx)
 
     def step(state: TrainState, real_img, real_c, z, gen_c, key):
         keys = jax.random.split(key, 4)
@@ -264,7 +310,17 @@ def make_fused_step(
             metrics.update(m)
         cur_nimg = state.cur_nimg + cfg.batch_size
         g_ema = ema_update(state.g_params, state.g_ema, cur_nimg, cfg)
-        return state.replace(g_ema=g_ema, cur_nimg=cur_nimg), metrics
+        state = state.replace(g_ema=g_ema, cur_nimg=cur_nimg)
+        if state.offsets is not None and state.offsets_ema is not None:
+            ema_nimg = cfg.ema_kimg * 1000.0
+            if cfg.ema_rampup is not None:
+                ema_nimg = jnp.minimum(
+                    ema_nimg, cur_nimg.astype(jnp.float32) * cfg.ema_rampup)
+            beta = 0.5 ** (cfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
+            state = state.replace(offsets_ema=jax.tree.map(
+                lambda p, e: p + beta * (e - p), state.offsets,
+                state.offsets_ema))
+        return state, metrics
 
     return step
 

@@ -1,0 +1,101 @@
+"""Training statistics: name-keyed moment accumulators + jsonl/TensorBoard.
+
+Functional equivalent of the reference `training_stats`
+(`DissimilarDomains/torch_utils/training_stats.py:56-268`): each reported
+value accumulates [num, sum, sum-of-squares] per name.  Under SPMD the jit'd
+step already returns globally-reduced scalars (the loss means cross the
+sharded batch axis), so no explicit all-reduce is needed on one host; for
+multi-host, pass process-local means through `jax.experimental.multihost_utils`
+before reporting.  Metric names match the reference so dashboards are
+comparable (`Loss/G/loss`, `Loss/signs/real`, `Progress/kimg`, `Timing/...`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class Collector:
+    """Accumulate [num, sum, sumsq] per metric name between ticks."""
+
+    def __init__(self):
+        self._moments: Dict[str, list] = {}
+
+    def report(self, name: str, value) -> None:
+        import numpy as np
+
+        arr = np.asarray(value, dtype=np.float64).reshape(-1)
+        m = self._moments.setdefault(name, [0, 0.0, 0.0])
+        m[0] += arr.size
+        m[1] += float(arr.sum())
+        m[2] += float(np.square(arr).sum())
+
+    def report_dict(self, metrics: Dict) -> None:
+        for k, v in metrics.items():
+            if not k.startswith("aux/"):
+                self.report(k, v)
+
+    def mean(self, name: str, default: float = 0.0) -> float:
+        m = self._moments.get(name)
+        if not m or m[0] == 0:
+            return default
+        return m[1] / m[0]
+
+    def std(self, name: str) -> float:
+        import numpy as np
+
+        m = self._moments.get(name)
+        if not m or m[0] == 0:
+            return 0.0
+        mean = m[1] / m[0]
+        var = max(m[2] / m[0] - mean * mean, 0.0)
+        return float(np.sqrt(var))
+
+    def as_dict(self) -> Dict[str, Dict[str, float]]:
+        return {
+            name: {"num": m[0], "mean": self.mean(name), "std": self.std(name)}
+            for name, m in self._moments.items()
+        }
+
+    def reset(self) -> None:
+        self._moments.clear()
+
+
+class StatsLogger:
+    """stats.jsonl + optional TensorBoard scalars (training_loop.py:634-652)."""
+
+    def __init__(self, run_dir: str, use_tensorboard: bool = True):
+        os.makedirs(run_dir, exist_ok=True)
+        self.run_dir = run_dir
+        self._jsonl = open(os.path.join(run_dir, "stats.jsonl"), "at")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils import tensorboard
+
+                self._tb = tensorboard.SummaryWriter(run_dir)
+            except Exception:
+                self._tb = None
+
+    def write(self, collector: Collector, step: int,
+              extra: Optional[Dict[str, float]] = None) -> None:
+        stats = collector.as_dict()
+        if extra:
+            for k, v in extra.items():
+                stats[k] = {"num": 1, "mean": float(v), "std": 0.0}
+        payload = {k: v["mean"] for k, v in stats.items()}
+        payload["timestamp"] = time.time()
+        self._jsonl.write(json.dumps(payload) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for name, v in stats.items():
+                self._tb.add_scalar(name, v["mean"], global_step=step)
+            self._tb.flush()
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,173 @@
+"""End-to-end CLI tests: dataset_tool -> train (few steps, with and without
+domain modulation) -> snapshot -> generate -> style_mixing."""
+
+import json
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+from click.testing import CliRunner
+
+from gagan_tpu.data import dataset_tool
+
+
+@pytest.fixture(scope="module")
+def tiny_zip(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw")
+    rng = np.random.RandomState(0)
+    for i in range(16):
+        img = rng.randint(0, 255, (16, 16, 3), dtype=np.uint8)
+        PIL.Image.fromarray(img).save(d / f"img{i:04d}.png")
+    dest = str(tmp_path_factory.mktemp("data") / "tiny.zip")
+    dataset_tool.convert_dataset(str(d), dest)
+    return dest
+
+
+@pytest.fixture(scope="module")
+def trained_run(tiny_zip, tmp_path_factory):
+    from gagan_tpu.cli import train as train_cli
+
+    outdir = str(tmp_path_factory.mktemp("run"))
+    runner = CliRunner()
+    result = runner.invoke(train_cli.main, [
+        "--outdir", outdir, "--data", tiny_zip, "--gpus", "1",
+        "--cfg", "cifar", "--batch", "4", "--kimg", "1",
+        "--aug", "ada", "--augpipe", "bgc", "--snap", "1", "--seed", "0",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    return outdir
+
+
+def _patch_tiny_loop(monkeypatch):
+    # Shrink total_kimg so the loop finishes after a few batches.
+    from gagan_tpu.train import loop as loop_lib
+
+    orig = loop_lib.training_loop
+
+    def wrapper(loop_cfg, *args, **kwargs):
+        loop_cfg.total_kimg = 0.012   # 12 imgs = 3 batches at bs 4
+        loop_cfg.kimg_per_tick = 0.004
+        return orig(loop_cfg, *args, **kwargs)
+
+    monkeypatch.setattr(loop_lib, "training_loop", wrapper)
+    from gagan_tpu.cli import train as train_cli
+    monkeypatch.setattr(train_cli.loop_lib if hasattr(train_cli, "loop_lib")
+                        else loop_lib, "training_loop", wrapper, raising=False)
+    return wrapper
+
+
+def test_train_dry_run(tiny_zip, tmp_path):
+    from gagan_tpu.cli import train as train_cli
+
+    runner = CliRunner()
+    result = runner.invoke(train_cli.main, [
+        "--outdir", str(tmp_path), "--data", tiny_zip,
+        "--cfg", "auto", "--dry-run",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0
+    assert "Dry run" in result.output
+
+
+def test_train_generate_stylemix(tiny_zip, tmp_path, monkeypatch):
+    from gagan_tpu.train import loop as loop_lib
+
+    # Shrink the run so it completes in seconds.
+    orig = loop_lib.training_loop
+
+    def tiny(loop_cfg, *args, **kwargs):
+        loop_cfg.total_kimg = 0.012
+        loop_cfg.kimg_per_tick = 0.004
+        return orig(loop_cfg, *args, **kwargs)
+
+    monkeypatch.setattr(loop_lib, "training_loop", tiny)
+
+    from gagan_tpu.cli import generate as gen_cli
+    from gagan_tpu.cli import style_mixing as mix_cli
+    from gagan_tpu.cli import train as train_cli
+
+    outdir = str(tmp_path / "run")
+    runner = CliRunner()
+    result = runner.invoke(train_cli.main, [
+        "--outdir", outdir, "--data", tiny_zip, "--gpus", "1",
+        "--cfg", "cifar", "--batch", "4",
+        "--aug", "ada", "--augpipe", "bgc", "--snap", "1",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+    snapshots = sorted(f for f in os.listdir(outdir)
+                       if f.startswith("network-snapshot"))
+    assert snapshots, os.listdir(outdir)
+    snap = os.path.join(outdir, snapshots[-1])
+    assert any(f.startswith("fakes") for f in os.listdir(outdir))
+    assert os.path.exists(os.path.join(outdir, "stats.jsonl"))
+    assert os.path.exists(os.path.join(outdir, "training_options.json"))
+
+    gen_out = str(tmp_path / "gen")
+    result = runner.invoke(gen_cli.main, [
+        "--network", snap, "--seeds", "0-2", "--outdir", gen_out,
+        "--trunc", "0.7",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert sorted(os.listdir(gen_out)) == [
+        "seed0000.png", "seed0001.png", "seed0002.png"]
+    img = np.array(PIL.Image.open(os.path.join(gen_out, "seed0000.png")))
+    assert img.shape == (16, 16, 3)
+
+    mix_out = str(tmp_path / "mix")
+    result = runner.invoke(mix_cli.main, [
+        "--network", snap, "--rows", "1,2", "--cols", "3,4",
+        "--styles", "0-3", "--outdir", mix_out,
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "grid.png" in os.listdir(mix_out)
+
+
+def test_train_with_domain_modulation(tiny_zip, tmp_path, monkeypatch):
+    from gagan_tpu.train import loop as loop_lib
+
+    orig = loop_lib.training_loop
+
+    def tiny(loop_cfg, *args, **kwargs):
+        loop_cfg.total_kimg = 0.008
+        loop_cfg.kimg_per_tick = 0.004
+        return orig(loop_cfg, *args, **kwargs)
+
+    monkeypatch.setattr(loop_lib, "training_loop", tiny)
+
+    from gagan_tpu.cli import train as train_cli
+
+    outdir = str(tmp_path / "run_dm")
+    runner = CliRunner()
+    result = runner.invoke(train_cli.main, [
+        "--outdir", outdir, "--data", tiny_zip, "--gpus", "1",
+        "--cfg", "cifar", "--batch", "4", "--aug", "noaug", "--snap", "1",
+        "--use-domain-modulation",
+        "--domain-modulation-parametrization", "additive,out_in_additive",
+        "--generator-requires-grad-parts",
+        "synt_affine,tRGB_affine,synt_weights_offset,tRGB_weights_offset,synt_offset,tRGB_offset",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    adapts = [f for f in os.listdir(outdir) if f.startswith("adaptation-")]
+    assert adapts, os.listdir(outdir)
+
+    # The adaptation checkpoint round-trips and applies via generate.
+    from gagan_tpu.utils import checkpoint as ckpt
+
+    meta, offsets, _ = ckpt.load_adaptation(os.path.join(outdir, adapts[-1]))
+    assert meta["parametrization"] == "additive,out_in_additive"
+    assert any("offset" in k for layer in offsets.values() for k in layer)
+
+    snap = sorted(f for f in os.listdir(outdir)
+                  if f.startswith("network-snapshot"))[-1]
+    from gagan_tpu.cli import generate as gen_cli
+
+    gen_out = str(tmp_path / "gen_dm")
+    result = runner.invoke(gen_cli.main, [
+        "--network", os.path.join(outdir, snap), "--seeds", "0",
+        "--outdir", gen_out,
+        "--s-direction", os.path.join(outdir, adapts[-1]),
+        "--s-scale", "1.5",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert os.listdir(gen_out) == ["seed0000.png"]
