@@ -1,0 +1,22 @@
+"""Genetic-algorithm layer: crossover/mutation primitives, fitness
+evaluation, population search over StyleSpace directions, and the in-training
+refinement hook."""
+
+from .crossover_mutation import (
+    dynamic_mutation,
+    gaussian_crossover,
+    simulated_binary_crossover,
+)
+from .evaluation import calculate_metrics
+from .search import GASearchConfig, evolve_directions
+from .refine import apply_genetic_refinement
+
+__all__ = [
+    "GASearchConfig",
+    "apply_genetic_refinement",
+    "calculate_metrics",
+    "dynamic_mutation",
+    "evolve_directions",
+    "gaussian_crossover",
+    "simulated_binary_crossover",
+]

@@ -1,0 +1,41 @@
+"""GA fitness metrics (`GA/evaluation.py:7-16`): FID + KID + LPIPS between
+real and generated batches, computed with the gagan_tpu metric stack instead
+of torchmetrics/lpips."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gagan_tpu.metrics import fid as fid_lib
+from gagan_tpu.metrics import kid as kid_lib
+
+
+def calculate_metrics(
+    real_images: jnp.ndarray,        # [N, C, H, W] uint8 [0, 255]
+    generated_images: jnp.ndarray,
+    feature_fn: Callable,            # images -> [N, D] (e.g. inception)
+    lpips_fn: Optional[Callable] = None,
+    kid_subset_size: int = 100,
+) -> Tuple[float, float, float]:
+    """Returns (fid, kid, lpips) like the reference calculate_metrics."""
+    real_f = np.asarray(feature_fn(real_images))
+    gen_f = np.asarray(feature_fn(generated_images))
+
+    mu_r, cov_r = real_f.mean(0), np.cov(real_f.T, bias=True)
+    mu_g, cov_g = gen_f.mean(0), np.cov(gen_f.T, bias=True)
+    fid = fid_lib.frechet_distance(mu_r, cov_r, mu_g, cov_g)
+
+    kid = kid_lib.kid_from_features(
+        real_f, gen_f, num_subsets=10,
+        max_subset_size=min(kid_subset_size, real_f.shape[0]))
+
+    lpips = float("nan")
+    if lpips_fn is not None:
+        n = min(real_images.shape[0], generated_images.shape[0])
+        a = lpips_fn(real_images[:n])
+        b = lpips_fn(generated_images[:n])
+        lpips = float(jnp.mean(jnp.sum(jnp.square(a - b), axis=-1)))
+    return fid, kid, lpips

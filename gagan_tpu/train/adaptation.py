@@ -1,0 +1,355 @@
+"""One-shot / few-shot CLIP-guided domain-adaptation trainers.
+
+TPU-native re-expression of the SimilarDomains trainer family
+(`SimilarDomains/trainers.py`): the shared base loop (`train_loop:234`,
+`train_step:363`) and the four concrete methods — StyleGAN-NADA
+(`td_single:510`), MindTheGap (`im2im_single:566`), JoJoGAN
+(`im2im_JoJo:794`), DiFa (`im2im_difa:944`) — as jit'd step functions over an
+offsets pytree.  The frozen source generator, the frozen CLIP towers, and the
+trainable offsets are all explicit pytrees; the per-method `calc_batch`
+assembly (`trainers.py:535-563, 780-718, 836-875, 1117-1172`) happens inside
+the jit'd loss so XLA fuses generator + CLIP encodes into one program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gagan_tpu.clip import model as clip_model
+from gagan_tpu.models import stylegan2 as sg2
+from gagan_tpu.params import offsets as offs_lib
+from gagan_tpu.train import adapt_losses as al
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptationConfig:
+    trainer: str = "td_single"       # td_single | im2im_single | im2im_JoJo | im2im_difa
+    batch_size: int = 4
+    iter_num: int = 301
+    lr: float = 0.002
+    betas: Tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 0.0
+    lr_warmup_steps: int = 0
+    mixing_noise: float = 0.9
+    source_class: str = "Photo"
+    target_class: str = ""
+    parametrization: str = "additive"     # offsets grammar
+    visual_encoders: Tuple[str, ...] = ("ViT-B/32",)
+    clip_layer: int = 8                   # DiFa token layer
+    # JoJoGAN:
+    alpha: float = 0.0
+    preserve_color: bool = False
+    # DiFa:
+    use_difa_tokens: bool = True
+    loss: al.DirectLossConfig = dataclasses.field(
+        default_factory=al.DirectLossConfig)
+    log_every: int = 10
+    checkpoint_every: int = 100
+
+
+class AdaptationTrainer:
+    """Drives offsets training against a frozen generator + CLIP towers.
+
+    clip_encoders: {name: (CLIPConfig, params)} for each visual encoder.
+    domain_embeddings: {name: {'src': [D] or [T,D], 'trg': ...}} — text
+      embeddings (td_single) or style-image embeddings (im2im), precomputed
+      with encode_text / encode_image.
+    style data (im2im trainers): style_image uint8 [C,H,W], style_latents
+      W+ [1, num_ws, w_dim] from inversion, style_image_inverted_A uint8.
+    """
+
+    def __init__(
+        self,
+        cfg: AdaptationConfig,
+        g_cfg: sg2.GeneratorConfig,
+        g_params: Params,
+        clip_encoders: Dict[str, Tuple[clip_model.CLIPConfig, Params]],
+        key: jax.Array,
+        domain_embeddings: Optional[Dict[str, Dict[str, jax.Array]]] = None,
+        style_image: Optional[np.ndarray] = None,
+        style_latents: Optional[jax.Array] = None,
+        style_image_inverted_A: Optional[np.ndarray] = None,
+        image_latent_fn: Optional[Callable] = None,  # e4e for difa_w
+    ):
+        self.cfg = cfg
+        self.g_cfg = g_cfg
+        self.g_params = g_params
+        self.clip_encoders = clip_encoders
+        self.image_latent_fn = image_latent_fn
+        self.current_step = 0
+
+        self.spec = offs_lib.OffsetsSpec.from_string(cfg.parametrization)
+        key, k_off = jax.random.split(key)
+        self.offsets = offs_lib.init_offsets(k_off, g_cfg.synthesis, self.spec)
+        self.key = key
+
+        sched = cfg.lr
+        if cfg.lr_warmup_steps > 0:
+            sched = optax.linear_schedule(0.0, cfg.lr, cfg.lr_warmup_steps)
+        self.tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay)
+            if cfg.weight_decay else optax.identity(),
+            optax.adam(sched, b1=cfg.betas[0], b2=cfg.betas[1]),
+        )
+        mask = offs_lib.trainable_mask(self.spec, self.offsets)
+        self.tx = optax.multi_transform(
+            {"train": self.tx, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda m: "train" if m else "freeze", mask))
+        self.opt_state = self.tx.init(self.offsets)
+
+        # Precompute style-image constants (im2im trainers).
+        self.style_image = (jnp.asarray(style_image)[None]
+                            if style_image is not None else None)
+        self.style_latents = style_latents
+        self.style_inverted_A = (jnp.asarray(style_image_inverted_A)[None]
+                                 if style_image_inverted_A is not None
+                                 else None)
+        self.domain_embeddings = dict(domain_embeddings or {})
+        self._prepare_constants()
+
+        self.scc_state = None
+        if cfg.loss.scc is not None:
+            self.scc_state = al.init_scc_state(
+                cfg.loss.scc.num_keep_first * g_cfg.w_dim,
+                window=cfg.loss.scc.sliding_window_size)
+
+        # Frozen towers travel as an explicit argument so jit does not bake
+        # them into the executable as constants.
+        self._frozen = {
+            "g": self.g_params,
+            "clip": {n: p for n, (c, p) in self.clip_encoders.items()},
+            "emb": self.domain_embeddings,
+            "style_latents": self.style_latents,
+            "style_image": (self.style_image if self.style_image is not None
+                            else None),
+        }
+        self._step_fn = jax.jit(self._build_step())
+
+    # ------------------------------------------------------------------
+
+    def _encode(self, name, images, return_hidden=(), cparams=None):
+        ccfg, own_params = self.clip_encoders[name]
+        if cparams is None:
+            cparams = own_params
+        img = jnp.clip(images * 127.5 + 128, 0, 255)
+        return clip_model.encode_image(ccfg, cparams, img,
+                                       return_hidden=return_hidden)
+
+    def _prepare_constants(self):
+        """Style-image CLIP embeddings and DiFa style tokens (im2im)."""
+        cfg = self.cfg
+        if cfg.trainer in ("im2im_single", "im2im_difa") and \
+                self.style_image is not None:
+            style_f = self.style_image.astype(jnp.float32) / 127.5 - 1.0
+            inv_a = (self.style_inverted_A.astype(jnp.float32) / 127.5 - 1.0
+                     if self.style_inverted_A is not None else style_f)
+            for name in cfg.visual_encoders:
+                hidden_layers = ((cfg.clip_layer,) if cfg.trainer ==
+                                 "im2im_difa" and cfg.use_difa_tokens else ())
+                trg_emb, hid = self._encode(name, style_f, hidden_layers)
+                src_emb, _ = self._encode(name, inv_a)
+                entry = self.domain_embeddings.setdefault(name, {})
+                entry.setdefault("trg", trg_emb)
+                entry.setdefault("src", src_emb)
+                if hidden_layers:
+                    toks = hid[cfg.clip_layer]
+                    entry["trg_tokens_style"] = toks[0] / jnp.linalg.norm(
+                        toks[0], axis=-1, keepdims=True)
+
+        if cfg.trainer == "im2im_JoJo":
+            n_latent = self.g_cfg.num_ws
+            if cfg.preserve_color:
+                self.id_swap = [i for i in (9, 11, 15, 16, 17)
+                                if i < n_latent]
+            else:
+                self.id_swap = list(range(7, n_latent))
+
+    # ------------------------------------------------------------------
+
+    def _run_g(self, params, z, z2, use_mix, hooks, noise_key):
+        """mixing_noise semantics (common.py:83-88): with prob `mixing_noise`
+        sample two z's and style-mix at a random crossover."""
+        g_cfg = self.g_cfg
+        ws1 = sg2.mapping_apply(g_cfg.mapping, params["mapping"], z)
+        ws2 = sg2.mapping_apply(g_cfg.mapping, params["mapping"], z2)
+        num_ws = g_cfg.num_ws
+        inject = jax.random.randint(noise_key, (), 1, num_ws)
+        layer_idx = jnp.arange(num_ws)[None, :, None]
+        ws_mixed = jnp.where(layer_idx < inject, ws1, ws2)
+        ws = jnp.where(use_mix, ws_mixed, ws1)
+        img = sg2.synthesis_apply(g_cfg.synthesis, params["synthesis"], ws,
+                                  noise_mode="random",
+                                  rng=jax.random.fold_in(noise_key, 1),
+                                  hooks=hooks)
+        return img
+
+    def _build_step(self):
+        cfg = self.cfg
+        g_cfg = self.g_cfg
+        spec = self.spec
+        want_tokens = (cfg.trainer == "im2im_difa" and cfg.use_difa_tokens
+                       and any("trg_tokens_style" in
+                               self.domain_embeddings.get(n, {})
+                               for n in cfg.visual_encoders))
+
+        def synth_from_latents(params, hooks, latents):
+            return sg2.synthesis_apply(
+                g_cfg.synthesis, params["synthesis"], latents,
+                noise_mode="const", hooks=hooks)
+
+        def loss_fn(offsets, frozen, z, z2, use_mix, key, scc_state, cur_iter):
+            g_params = frozen["g"]
+            clip_params = frozen["clip"]
+            emb_all = frozen["emb"]
+            hooks = offs_lib.make_hooks(spec, offsets)
+            frozen_img = jax.lax.stop_gradient(
+                self._run_g(g_params, z, z2, use_mix, None, key))
+            trainable_img = self._run_g(g_params, z, z2, use_mix, hooks,
+                                        key)
+
+            clip_data: Dict[str, Dict[str, jax.Array]] = {}
+            rec_data: Dict[str, jax.Array] = {}
+
+            if cfg.trainer == "im2im_JoJo":
+                # JoJo trains on style-mixed latents only
+                # (trainers.py:836-875).
+                ws = sg2.mapping_apply(g_cfg.mapping,
+                                       g_params["mapping"], z)
+                a = 1.0 - cfg.alpha
+                rep = cfg.batch_size
+                in_latent = jnp.tile(frozen["style_latents"], (rep, 1, 1))
+                idx = jnp.asarray(self.id_swap)
+                mixed = a * in_latent[:, idx] + (1 - a) * ws[:, idx]
+                in_latent = in_latent.at[:, idx].set(mixed)
+                inverted_B = synth_from_latents(g_params, hooks,
+                                                in_latent)
+                style_f = frozen["style_image"].astype(jnp.float32) / 127.5 - 1.0
+                rec_data = {
+                    "style_inverted_B_1024x1024": inverted_B,
+                    "style_image_1024x1024": style_f,
+                    "style_inverted_B_256x256": jax.image.resize(
+                        inverted_B, inverted_B.shape[:2] + (256, 256),
+                        "cubic"),
+                    "style_image_256x256": jax.image.resize(
+                        style_f, style_f.shape[:2] + (256, 256), "cubic"),
+                }
+            else:
+                for name in cfg.visual_encoders:
+                    hidden_layers = ((cfg.clip_layer,) if want_tokens else ())
+                    trg_enc, trg_hid = self._encode(name, trainable_img,
+                                                    hidden_layers,
+                                                    clip_params[name])
+                    src_enc, src_hid = self._encode(name, frozen_img,
+                                                    hidden_layers,
+                                                    clip_params[name])
+                    emb = emb_all[name]
+                    cb = {
+                        "trg_encoded": trg_enc,
+                        "src_encoded": src_enc,
+                        "trg_domain_emb": emb["trg"],
+                        "src_domain_emb": emb["src"],
+                    }
+                    if want_tokens:
+                        t = trg_hid[cfg.clip_layer]
+                        cb["trg_tokens"] = t / jnp.linalg.norm(
+                            t, axis=-1, keepdims=True)
+                        s = src_hid[cfg.clip_layer]
+                        cb["src_tokens"] = s / jnp.linalg.norm(
+                            s, axis=-1, keepdims=True)
+                        cb["trg_tokens_style"] = emb["trg_tokens_style"]
+                    clip_data[name] = cb
+
+                if cfg.trainer in ("im2im_single", "im2im_difa") and \
+                        self.style_latents is not None:
+                    inverted_B = synth_from_latents(g_params, hooks,
+                                                    frozen["style_latents"])
+                    style_f = (frozen["style_image"].astype(jnp.float32)
+                               / 127.5 - 1.0)
+                    rec_data = {
+                        "style_inverted_B_1024x1024": inverted_B,
+                        "style_image_1024x1024": style_f,
+                        "style_inverted_B_256x256": jax.image.resize(
+                            inverted_B, inverted_B.shape[:2] + (256, 256),
+                            "cubic"),
+                        "style_image_256x256": jax.image.resize(
+                            style_f, style_f.shape[:2] + (256, 256), "cubic"),
+                    }
+                    for name in cfg.visual_encoders:
+                        inv_b_emb, _ = self._encode(name, inverted_B,
+                                                    cparams=clip_params[name])
+                        clip_data[name]["trg_trainable_emb"] = inv_b_emb
+                        clip_data[name]["trg_emb"] = emb_all[name]["trg"]
+
+            inv_data = {}
+            if cfg.loss.scc is not None and self.image_latent_fn is not None:
+                inv_data = {
+                    "src_latents": self.image_latent_fn(frozen_img),
+                    "trg_latents": self.image_latent_fn(trainable_img),
+                    "iters": cur_iter,
+                    "total_iters": cfg.iter_num,
+                }
+
+            batch = {"clip_data": clip_data, "rec_data": rec_data,
+                     "offsets": offsets, "inv_data": inv_data}
+            losses, scc_state = al.direct_loss(cfg.loss, batch, scc_state)
+            return losses["total"], (losses, scc_state)
+
+        def step(offsets, opt_state, frozen, z, z2, use_mix, key, scc_state,
+                 cur_iter):
+            (_, (losses, scc_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(offsets, frozen, z, z2, use_mix, key,
+                                       scc_state, cur_iter)
+            updates, opt_state = self.tx.update(grads, opt_state, offsets)
+            offsets = optax.apply_updates(offsets, updates)
+            return offsets, opt_state, losses, scc_state
+
+        return step
+
+    # ------------------------------------------------------------------
+
+    def train_step(self) -> Dict[str, float]:
+        cfg = self.cfg
+        self.key, k_z, k_z2, k_mix, k_step = jax.random.split(self.key, 5)
+        z = jax.random.normal(k_z, (cfg.batch_size, self.g_cfg.z_dim))
+        z2 = jax.random.normal(k_z2, (cfg.batch_size, self.g_cfg.z_dim))
+        use_mix = jax.random.uniform(k_mix) < cfg.mixing_noise
+        self.offsets, self.opt_state, losses, self.scc_state = self._step_fn(
+            self.offsets, self.opt_state, self._frozen, z, z2, use_mix,
+            k_step, self.scc_state,
+            jnp.asarray(self.current_step, jnp.float32))
+        self.current_step += 1
+        return {k: float(v) for k, v in losses.items()}
+
+    def train(self, log_fn: Optional[Callable] = None,
+              checkpoint_dir: Optional[str] = None) -> Params:
+        from gagan_tpu.utils import checkpoint as ckpt
+        from gagan_tpu.utils.config import to_dict
+
+        for step_idx in range(self.cfg.iter_num):
+            losses = self.train_step()
+            if log_fn is not None and step_idx % self.cfg.log_every == 0:
+                log_fn(step_idx, losses)
+            if (checkpoint_dir and
+                    (step_idx + 1) % self.cfg.checkpoint_every == 0):
+                ckpt.save_adaptation(
+                    os.path.join(checkpoint_dir,
+                                 f"adaptation-{step_idx + 1:06d}.npz"),
+                    model_type="parametrization",
+                    parametrization=self.cfg.parametrization,
+                    offsets=jax.device_get(self.offsets),
+                    sg2_config=to_dict(self.g_cfg))
+        return self.offsets
+
+    def synthesize(self, z, truncation: float = 1.0):
+        hooks = offs_lib.make_hooks(self.spec, self.offsets)
+        return sg2.generator_apply(self.g_cfg, self.g_params, z,
+                                   truncation_psi=truncation, hooks=hooks)

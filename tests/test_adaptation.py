@@ -1,0 +1,214 @@
+"""Adaptation trainer tests: loss-function parity vs the reference formulas
+and end-to-end trainer smoke for td_single / im2im / JoJo / DiFa."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from gagan_tpu.clip import model as clip_model
+from gagan_tpu.models import stylegan2 as sg2
+from gagan_tpu.train import adapt_losses as al
+from gagan_tpu.train import adaptation as ad
+
+
+# ----------------------------------------------------------------------------
+# Loss parity vs the reference implementations (torch).
+
+
+def torch_cosine_loss(x, y):
+    return 1.0 - torch.nn.functional.cosine_similarity(x, y)
+
+
+def test_direction_loss_parity():
+    rng = np.random.RandomState(0)
+    cb = {k: rng.randn(4, 16).astype(np.float32)
+          for k in ("trg_encoded", "src_encoded", "trg_domain_emb",
+                    "src_domain_emb")}
+    want = torch_cosine_loss(
+        torch.from_numpy(cb["trg_encoded"] - cb["src_encoded"]),
+        torch.from_numpy(cb["trg_domain_emb"] - cb["src_domain_emb"]),
+    ).mean().item()
+    got = float(al.direction_loss({k: jnp.asarray(v) for k, v in cb.items()}))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_indomain_loss_parity():
+    rng = np.random.RandomState(1)
+    src = rng.randn(5, 8).astype(np.float32)
+    trg = rng.randn(5, 8).astype(np.float32)
+    mask = al.tril_mask(5)
+    src_c = (src @ src.T)[mask]
+    trg_c = (trg @ trg.T)[mask]
+    want = ((src_c - trg_c) ** 2).sum() / 5 / 4 * 2
+    got = float(al.indomain_loss({"src_encoded": jnp.asarray(src),
+                                  "trg_encoded": jnp.asarray(trg)}))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_difa_local_parity():
+    # Oracle: reference clip_difa_local formula (core/loss.py:212-236).
+    rng = np.random.RandomState(2)
+    tgt = rng.randn(2, 6, 16).astype(np.float32)
+    style = rng.randn(6, 16).astype(np.float32)
+
+    t_t = torch.from_numpy(tgt.copy())
+    t_s = torch.from_numpy(style.copy())[None].repeat(2, 1, 1)
+    t_t = t_t / t_t.norm(dim=-1, keepdim=True)
+    t_s = t_s / t_s.norm(dim=-1, keepdim=True)
+    attn = torch.bmm(t_t, t_s.permute(0, 2, 1))
+    cost = 1 - attn
+    row = cost.min(dim=2)[0].mean(dim=1)
+    col = cost.min(dim=1)[0].mean(dim=1)
+    want = torch.stack([row, col], dim=1).max(dim=1)[0].mean().item()
+
+    got = float(al.difa_local_loss({
+        "trg_tokens": jnp.asarray(tgt),
+        "trg_tokens_style": jnp.asarray(style)}))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_offsets_reg_losses():
+    offsets = {
+        "b8.conv0": {"offset": jnp.asarray([[1.0, -2.0]])},
+        "b8.conv1": {"offset": jnp.asarray([[0.5, 0.5]])},
+    }
+    l2 = float(al.offsets_l2(offsets))
+    want = (1 + 4) / 2 + (0.25 + 0.25) / 2
+    np.testing.assert_allclose(l2, want, rtol=1e-6)
+    l1 = float(al.offsets_l1(offsets))
+    np.testing.assert_allclose(l1, 3 / 2 + 1 / 2, rtol=1e-6)
+
+
+def test_scc_loss_window():
+    cfg = al.SCCConfig(weight=1.0, num_keep_first=2, sliding_window_size=4)
+    state = al.init_scc_state(2 * 8, window=4)
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.randn(3, 32).astype(np.float32))
+    trg = jnp.asarray(rng.randn(3, 32).astype(np.float32))
+    loss, state = al.scc_loss(cfg, state, src, trg, 0.0, 100.0)
+    assert float(loss) == 0.0          # regular_weight = 0 before window fills
+    assert int(state.count) == 1
+    for i in range(10):
+        loss, state = al.scc_loss(cfg, state, src, trg, 50.0 + i, 100.0)
+    assert int(state.count) == 4       # window saturates
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+# ----------------------------------------------------------------------------
+# Trainer end-to-end (tiny models).
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    g_cfg = sg2.GeneratorConfig(
+        z_dim=32, w_dim=32, img_resolution=32, img_channels=3,
+        mapping=sg2.MappingConfig(num_layers=2),
+        synthesis=sg2.SynthesisConfig(channel_base=1024, channel_max=64))
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    ccfg = clip_model.CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, transformer_width=32, transformer_heads=4,
+        transformer_layers=2, vision_heads_override=4)
+    cparams = clip_model.init_clip(jax.random.PRNGKey(1), ccfg)
+    return g_cfg, g_params, {"ViT-B/32": (ccfg, cparams)}
+
+
+def test_td_single_trains(tiny_setup):
+    g_cfg, g_params, encoders = tiny_setup
+    rng = np.random.RandomState(0)
+    emb = {"ViT-B/32": {
+        "src": jnp.asarray(rng.randn(1, 32).astype(np.float32)),
+        "trg": jnp.asarray(rng.randn(1, 32).astype(np.float32)),
+    }}
+    cfg = ad.AdaptationConfig(
+        trainer="td_single", batch_size=2, iter_num=6, lr=0.05,
+        parametrization="additive",
+        loss=al.DirectLossConfig(loss_funcs=("direction", "offsets_l2"),
+                                 loss_coefs=(1.0, 0.1)))
+    tr = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
+                              jax.random.PRNGKey(2), domain_embeddings=emb)
+    losses0 = tr.train_step()
+    assert "direction_ViT-B-32" in losses0
+    assert "offsets_l2" in losses0
+    for _ in range(5):
+        losses = tr.train_step()
+    assert np.isfinite(losses["total"])
+    # Offsets moved and adapted output differs from source.
+    delta = max(float(jnp.max(jnp.abs(x)))
+                for x in jax.tree.leaves(tr.offsets))
+    assert delta > 0
+    z = jax.random.normal(jax.random.PRNGKey(3), (2, 32))
+    adapted = tr.synthesize(z)
+    source = sg2.generator_apply(g_cfg, g_params, z)
+    assert not bool(jnp.allclose(adapted, source))
+
+
+def test_im2im_jojo_trains(tiny_setup):
+    g_cfg, g_params, encoders = tiny_setup
+    rng = np.random.RandomState(1)
+    style_image = rng.randint(0, 255, (3, 32, 32), np.uint8)
+    style_latents = jnp.asarray(
+        rng.randn(1, g_cfg.num_ws, 32).astype(np.float32))
+    cfg = ad.AdaptationConfig(
+        trainer="im2im_JoJo", batch_size=2, iter_num=4, lr=0.05, alpha=0.5,
+        parametrization="additive",
+        loss=al.DirectLossConfig(loss_funcs=("l2_rec_fullres",),
+                                 loss_coefs=(1.0,)))
+    tr = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
+                              jax.random.PRNGKey(2), style_image=style_image,
+                              style_latents=style_latents)
+    l0 = tr.train_step()["total"]
+    for _ in range(3):
+        l = tr.train_step()["total"]
+    assert np.isfinite(l)
+    assert l < l0  # reconstruction improves on a pure rec loss
+
+
+def test_im2im_difa_tokens(tiny_setup):
+    g_cfg, g_params, encoders = tiny_setup
+    rng = np.random.RandomState(2)
+    style_image = rng.randint(0, 255, (3, 32, 32), np.uint8)
+    style_latents = jnp.asarray(
+        rng.randn(1, g_cfg.num_ws, 32).astype(np.float32))
+    cfg = ad.AdaptationConfig(
+        trainer="im2im_difa", batch_size=2, iter_num=3, lr=0.01,
+        clip_layer=1, parametrization="additive",
+        loss=al.DirectLossConfig(
+            loss_funcs=("direction", "difa_local"), loss_coefs=(1.0, 1.0)))
+    tr = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
+                              jax.random.PRNGKey(3), style_image=style_image,
+                              style_latents=style_latents)
+    losses = tr.train_step()
+    assert "difa_local_ViT-B-32" in losses
+    assert np.isfinite(losses["total"])
+
+
+def test_adaptation_checkpoint_roundtrip(tiny_setup, tmp_path):
+    g_cfg, g_params, encoders = tiny_setup
+    rng = np.random.RandomState(0)
+    emb = {"ViT-B/32": {
+        "src": jnp.asarray(rng.randn(1, 32).astype(np.float32)),
+        "trg": jnp.asarray(rng.randn(1, 32).astype(np.float32)),
+    }}
+    cfg = ad.AdaptationConfig(
+        trainer="td_single", batch_size=2, iter_num=2, lr=0.05,
+        checkpoint_every=2,
+        loss=al.DirectLossConfig(loss_funcs=("direction",),
+                                 loss_coefs=(1.0,)))
+    tr = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
+                              jax.random.PRNGKey(2), domain_embeddings=emb)
+    tr.train(checkpoint_dir=str(tmp_path))
+    import os
+
+    files = [f for f in os.listdir(tmp_path) if f.startswith("adaptation-")]
+    assert files
+
+    from gagan_tpu.utils import checkpoint as ckpt
+
+    meta, offsets, _ = ckpt.load_adaptation(str(tmp_path / files[-1]))
+    assert meta["parametrization"] == "additive"
+    chex_structs = jax.tree.structure(offsets) == jax.tree.structure(tr.offsets)
+    assert chex_structs

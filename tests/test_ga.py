@@ -1,0 +1,144 @@
+"""GA layer tests: primitive parity vs reference formulas, population search
+convergence, refinement hook, mesh sharding."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from gagan_tpu.ga import (
+    GASearchConfig,
+    apply_genetic_refinement,
+    calculate_metrics,
+    dynamic_mutation,
+    evolve_directions,
+    gaussian_crossover,
+    simulated_binary_crossover,
+)
+from gagan_tpu.ga import search as ga_search
+from gagan_tpu.models import stylegan2 as sg2
+
+
+def test_gaussian_crossover_matches_reference_formula():
+    key = jax.random.PRNGKey(0)
+    p1 = jnp.asarray(np.random.RandomState(0).randn(4, 8).astype(np.float32))
+    p2 = jnp.asarray(np.random.RandomState(1).randn(4, 8).astype(np.float32))
+    child = gaussian_crossover(key, p1, p2)
+    mu = jax.random.normal(key, p1.shape, dtype=p1.dtype)
+    want = mu * p1 + (1 - mu) * p2
+    np.testing.assert_allclose(np.asarray(child), np.asarray(want), rtol=1e-6)
+
+
+def test_sbx_children_sum():
+    key = jax.random.PRNGKey(1)
+    p1 = jnp.ones((3, 4))
+    p2 = jnp.full((3, 4), 2.0)
+    c1, c2 = simulated_binary_crossover(key, p1, p2)
+    # children average to the parents' average for any beta
+    np.testing.assert_allclose(np.asarray((c1 + c2) / 2),
+                               np.asarray((p1 + p2) / 2), rtol=1e-6)
+
+
+def test_dynamic_mutation_scale():
+    key = jax.random.PRNGKey(2)
+    x = jnp.zeros((1000,))
+    m = dynamic_mutation(key, x, mutation_rate=0.1)
+    assert 0.05 < float(jnp.std(m)) < 0.2
+
+
+@pytest.fixture(scope="module")
+def tiny_gd():
+    g_cfg = sg2.GeneratorConfig(
+        z_dim=16, w_dim=16, img_resolution=16, img_channels=3,
+        mapping=sg2.MappingConfig(num_layers=1),
+        synthesis=sg2.SynthesisConfig(channel_base=256, channel_max=16))
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_cfg = sg2.DiscriminatorConfig(
+        img_resolution=16, img_channels=3, channel_base=256, channel_max=16,
+        mbstd_group_size=2)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    return g_cfg, g_params, d_cfg, d_params
+
+
+def test_direction_roundtrip(tiny_gd):
+    g_cfg, g_params, _, _ = tiny_gd
+    dim = ga_search.direction_dim(g_cfg.synthesis)
+    assert dim == sum(g_cfg.synthesis.layer_in_channels())
+    direction = jnp.zeros((dim,))
+    hooks = ga_search.direction_to_hooks(g_cfg.synthesis, direction)
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    base = sg2.generator_apply(g_cfg, g_params, z)
+    with_zero = sg2.generator_apply(g_cfg, g_params, z, hooks=hooks)
+    np.testing.assert_allclose(np.asarray(with_zero), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_evolution_improves_fitness(tiny_gd):
+    g_cfg, g_params, _, _ = tiny_gd
+
+    # Fitness: mean brightness of generated images (easy to optimize).
+    def fitness(img_u8):
+        return jnp.mean(img_u8.astype(jnp.float32))
+
+    cfg = GASearchConfig(population=8, generations=5, elite=2,
+                         batch_per_candidate=2, mutation_rate=0.3,
+                         init_sigma=0.5)
+    best, history = evolve_directions(
+        jax.random.PRNGKey(0), g_cfg, g_params, fitness, cfg)
+    assert best.shape == (ga_search.direction_dim(g_cfg.synthesis),)
+    assert history[-1] >= history[0]
+
+
+def test_evolution_sharded_over_mesh(tiny_gd):
+    from gagan_tpu.parallel import create_mesh
+
+    g_cfg, g_params, _, _ = tiny_gd
+    mesh = create_mesh(8)
+    assert mesh.devices.size == 8
+
+    def fitness(img_u8):
+        return -jnp.mean(jnp.square(img_u8.astype(jnp.float32) / 255 - 0.5))
+
+    cfg = GASearchConfig(population=16, generations=2, elite=2,
+                         batch_per_candidate=2)
+    best, history = evolve_directions(
+        jax.random.PRNGKey(0), g_cfg, g_params, fitness, cfg, mesh=mesh)
+    assert np.isfinite(history).all()
+
+
+def test_genetic_refinement_replaces_only_masked(tiny_gd):
+    g_cfg, g_params, d_cfg, d_params = tiny_gd
+    key = jax.random.PRNGKey(3)
+    z = jax.random.normal(key, (4, 16))
+    ws = sg2.mapping_apply(g_cfg.mapping, g_params["mapping"], z)
+    fake = sg2.synthesis_apply(g_cfg.synthesis, g_params["synthesis"], ws)
+    real = jax.random.normal(jax.random.PRNGKey(4), fake.shape)
+
+    # threshold=inf: every fake replaced; threshold=0: none replaced.
+    out_all = apply_genetic_refinement(
+        g_cfg, g_params, d_cfg, d_params, real, fake, ws,
+        jax.random.PRNGKey(5), threshold=1e9)
+    out_none = apply_genetic_refinement(
+        g_cfg, g_params, d_cfg, d_params, real, fake, ws,
+        jax.random.PRNGKey(5), threshold=0.0)
+    assert not bool(jnp.allclose(out_all, fake))
+    np.testing.assert_array_equal(np.asarray(out_none), np.asarray(fake))
+
+
+def test_calculate_metrics(tiny_gd):
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randint(0, 255, (64, 3, 16, 16), np.uint8))
+    gen = jnp.asarray(rng.randint(0, 255, (64, 3, 16, 16), np.uint8))
+
+    w = jnp.asarray(rng.randn(768, 8).astype(np.float32))
+
+    def feat(images):
+        x = images.astype(jnp.float32).reshape(images.shape[0], -1) / 255.0
+        return x @ w
+
+    fid, kid, lpips = calculate_metrics(real, gen, feat, lpips_fn=feat)
+    assert np.isfinite(fid) and fid >= 0
+    assert np.isfinite(kid)
+    assert np.isfinite(lpips)

@@ -1,0 +1,277 @@
+"""Offline weight converters: PyTorch checkpoints -> gagan_tpu npz.
+
+Covers the reference's checkpoint zoo (torch is used on CPU as a conversion
+tool only; the framework itself never imports it):
+
+  * rosinality StyleGAN2 .pt (`SimilarDomains/gan_models/StyleGAN2/model.py`,
+    the `g_ema` key of stylegan2-ffhq-config-f.pt etc.) -> snapshot npz.
+    The name/value mapping mirrors the correspondence the reference documents
+    in `core/utils/karras_to_rosinality.py` (inverted): rosinality
+    `channel_multiplier=cm` equals NVlabs `channel_base=16384*cm`.
+  * NVlabs StyleGAN2-ADA .pkl (network snapshots with source-embedded
+    classes) -> snapshot npz.  Unpickling needs the NVlabs/reference
+    `torch_utils` importable (pass --reference-path); our pytree naming
+    equals the NVlabs state_dict so the map is the identity.
+  * HuggingFace CLIP -> clip npz (vit_b_32.npz / vit_b_16.npz).
+  * pytorch-fid InceptionV3 / torchvision VGG16 + LPIPS lin weights ->
+    detector npz.
+
+Usage:
+  python tools/convert_weights.py rosinality --src ckpt.pt --dest out.npz
+  python tools/convert_weights.py nvlabs --src snap.pkl --dest out.npz \
+      --reference-path /root/reference/DissimilarDomains
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _save_snapshot(dest, g_ema_flat=None, g_flat=None, d_flat=None,
+                   config=None):
+    arrays = {}
+    for name, flat in (("G_ema", g_ema_flat), ("G", g_flat), ("D", d_flat)):
+        if flat:
+            for k, v in flat.items():
+                arrays[f"{name}/{k}"] = np.asarray(v)
+    arrays["__config__"] = np.frombuffer(
+        json.dumps(config or {}).encode(), dtype=np.uint8)
+    np.savez(dest, **arrays)
+
+
+# ----------------------------------------------------------------------------
+# rosinality -> unified
+
+
+def rosinality_to_flat(sd: dict, size: int, style_dim: int = 512,
+                       n_mlp: int = 8) -> dict:
+    """rosinality Generator state_dict -> flat NVlabs-style keys."""
+    import math
+
+    out = {}
+    for i in range(n_mlp):
+        # style.0 is PixelNorm; EqualLinear layers start at style.1.
+        out[f"mapping.fc{i}.weight"] = sd[f"style.{i + 1}.weight"]
+        out[f"mapping.fc{i}.bias"] = sd[f"style.{i + 1}.bias"]
+    out["mapping.w_avg"] = np.zeros(style_dim, np.float32)
+
+    out["synthesis.b4.const"] = sd["input.input"][0]
+
+    def conv_entry(prefix, dst, noise_key):
+        out[f"{dst}.weight"] = sd[f"{prefix}.conv.weight"][0]
+        out[f"{dst}.affine.weight"] = sd[f"{prefix}.conv.modulation.weight"]
+        out[f"{dst}.affine.bias"] = sd[f"{prefix}.conv.modulation.bias"]
+        out[f"{dst}.noise_strength"] = sd[f"{prefix}.noise.weight"].reshape(())
+        out[f"{dst}.bias"] = sd[f"{prefix}.activate.bias"]
+        out[f"{dst}.noise_const"] = sd[noise_key][0, 0]
+
+    def torgb_entry(prefix, dst):
+        out[f"{dst}.weight"] = sd[f"{prefix}.conv.weight"][0]
+        out[f"{dst}.affine.weight"] = sd[f"{prefix}.conv.modulation.weight"]
+        out[f"{dst}.affine.bias"] = sd[f"{prefix}.conv.modulation.bias"]
+        out[f"{dst}.bias"] = sd[f"{prefix}.bias"].reshape(-1)
+
+    conv_entry("conv1", "synthesis.b4.conv1", "noises.noise_0")
+    torgb_entry("to_rgb1", "synthesis.b4.torgb")
+
+    log_size = int(math.log2(size))
+    layer_idx = 1
+    for block_i, i in enumerate(range(3, log_size + 1)):
+        res = 2 ** i
+        conv_entry(f"convs.{2 * block_i}", f"synthesis.b{res}.conv0",
+                   f"noises.noise_{layer_idx}")
+        conv_entry(f"convs.{2 * block_i + 1}", f"synthesis.b{res}.conv1",
+                   f"noises.noise_{layer_idx + 1}")
+        torgb_entry(f"to_rgbs.{block_i}", f"synthesis.b{res}.torgb")
+        layer_idx += 2
+    return out
+
+
+def convert_rosinality(src: str, dest: str, size: int = None,
+                       channel_multiplier: int = 2, n_mlp: int = 8,
+                       compute_w_avg: bool = True):
+    import torch
+
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
+    sd = ckpt.get("g_ema", ckpt)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    if size is None:
+        # Infer from the largest noise buffer.
+        noise_res = max(v.shape[-1] for k, v in sd.items()
+                        if k.startswith("noises."))
+        size = noise_res
+    flat = rosinality_to_flat(sd, size, n_mlp=n_mlp)
+
+    config = {
+        "g_cfg": {
+            "z_dim": 512, "c_dim": 0, "w_dim": 512,
+            "img_resolution": size, "img_channels": 3,
+            "mapping": {"num_layers": n_mlp, "lr_multiplier": 0.01},
+            "synthesis": {"channel_base": 16384 * channel_multiplier,
+                          "channel_max": 512},
+        }
+    }
+
+    if compute_w_avg:
+        import jax
+
+        from gagan_tpu.models import stylegan2 as sg2
+        from gagan_tpu.utils import checkpoint as ckpt_lib
+        from gagan_tpu.utils.config import generator_config_from_dict
+
+        g_cfg = generator_config_from_dict(config["g_cfg"])
+        params = ckpt_lib.flat_to_tree(flat)
+        z = jax.random.normal(jax.random.PRNGKey(0), (4096, 512))
+        ws = sg2.mapping_apply(g_cfg.mapping, params["mapping"], z,
+                               broadcast=False)
+        flat["mapping.w_avg"] = np.asarray(ws.mean(axis=0))
+
+    _save_snapshot(dest, g_ema_flat=flat, config=config)
+    print(f"converted rosinality ckpt ({size}px) -> {dest}")
+
+
+# ----------------------------------------------------------------------------
+# NVlabs pkl -> unified
+
+
+def convert_nvlabs_pkl(src: str, dest: str, reference_path: str):
+    import pickle
+
+    sys.path.insert(0, reference_path)
+
+    with open(src, "rb") as f:
+        data = pickle.load(f)
+
+    out = {}
+    config = {}
+    for name in ("G_ema", "G", "D"):
+        module = data.get(name)
+        if module is None:
+            continue
+        out[name] = {k: v.detach().cpu().numpy()
+                     for k, v in module.state_dict().items()
+                     if not any(k.endswith(s) for s in
+                                ("resample_filter", ".ones", ".ones_weights",
+                                 ".offset_mask"))}
+        if name == "G_ema":
+            config["g_cfg"] = {
+                "z_dim": module.z_dim, "c_dim": module.c_dim,
+                "w_dim": module.w_dim,
+                "img_resolution": module.img_resolution,
+                "img_channels": module.img_channels,
+            }
+    _save_snapshot(dest, g_ema_flat=out.get("G_ema"), g_flat=out.get("G"),
+                   d_flat=out.get("D"), config=config)
+    print(f"converted NVlabs pkl -> {dest}")
+
+
+# ----------------------------------------------------------------------------
+# CLIP / detectors
+
+
+def convert_hf_clip(src: str, dest: str):
+    """src: HF model dir or name (must be locally cached; zero-egress)."""
+    import transformers
+
+    from gagan_tpu.clip.convert import from_hf_state_dict
+    from gagan_tpu.utils.checkpoint import tree_to_flat
+
+    model = transformers.CLIPModel.from_pretrained(src)
+    params = from_hf_state_dict(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()})
+    np.savez(dest, **tree_to_flat(jax_tree_to_np(params)))
+    print(f"converted HF CLIP -> {dest}")
+
+
+def convert_openai_clip(src: str, dest: str):
+    """src: OpenAI CLIP .pt (jit archive or state dict)."""
+    import torch
+
+    from gagan_tpu.clip.convert import from_openai_state_dict
+    from gagan_tpu.utils.checkpoint import tree_to_flat
+
+    try:
+        model = torch.jit.load(src, map_location="cpu")
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    except RuntimeError:
+        sd = {k: v.numpy()
+              for k, v in torch.load(src, map_location="cpu").items()}
+    params = from_openai_state_dict(sd)
+    np.savez(dest, **tree_to_flat(jax_tree_to_np(params)))
+    print(f"converted OpenAI CLIP -> {dest}")
+
+
+def convert_inception(src: str, dest: str):
+    """src: pytorch-fid pt_inception-2015-12-05 state dict (.pth)."""
+    import torch
+
+    sd = torch.load(src, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    np.savez(dest, **{k: v.numpy() for k, v in sd.items()
+                      if "num_batches_tracked" not in k})
+    print(f"converted InceptionV3 -> {dest}")
+
+
+def convert_vgg16(src: str, dest: str, lpips_lin: str = None):
+    """src: torchvision vgg16 state dict; lpips_lin: LPIPS vgg lin .pth."""
+    import torch
+
+    sd = torch.load(src, map_location="cpu", weights_only=False)
+    flat = {k: v.numpy() for k, v in sd.items()}
+    if lpips_lin:
+        lin = torch.load(lpips_lin, map_location="cpu", weights_only=False)
+        for i in range(5):
+            w = lin[f"lin{i}.model.1.weight"]
+            flat[f"lin.{i}.weight"] = w.numpy().reshape(-1)
+    np.savez(dest, **flat)
+    print(f"converted VGG16 -> {dest}")
+
+
+def jax_tree_to_np(tree):
+    import jax
+
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("rosinality", "nvlabs", "hf_clip", "openai_clip",
+                 "inception", "vgg16"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--src", required=True)
+        sp.add_argument("--dest", required=True)
+        if name == "nvlabs":
+            sp.add_argument("--reference-path", required=True)
+        if name == "rosinality":
+            sp.add_argument("--size", type=int, default=None)
+            sp.add_argument("--channel-multiplier", type=int, default=2)
+        if name == "vgg16":
+            sp.add_argument("--lpips-lin", default=None)
+    args = p.parse_args()
+
+    if args.cmd == "rosinality":
+        convert_rosinality(args.src, args.dest, size=args.size,
+                           channel_multiplier=args.channel_multiplier)
+    elif args.cmd == "nvlabs":
+        convert_nvlabs_pkl(args.src, args.dest, args.reference_path)
+    elif args.cmd == "hf_clip":
+        convert_hf_clip(args.src, args.dest)
+    elif args.cmd == "openai_clip":
+        convert_openai_clip(args.src, args.dest)
+    elif args.cmd == "inception":
+        convert_inception(args.src, args.dest)
+    elif args.cmd == "vgg16":
+        convert_vgg16(args.src, args.dest, args.lpips_lin)
+
+
+if __name__ == "__main__":
+    main()
