@@ -1,0 +1,88 @@
+"""One-call inference over trained adaptations.
+
+Port of the reference `Inferencer` (`SimilarDomains/core/utils/example_utils.py:31-133`):
+load a portable adaptation checkpoint (original / parametrization / mapper),
+rebuild the frozen source generator + trainable, and produce (source, target)
+image pairs — including the MindTheGap-style latent mixing that swaps
+`style_latents[7:]` into the medium/fine layers (`example_utils.py:86-96`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gagan_tpu.models import stylegan2 as sg2
+from gagan_tpu.params import offsets as offs_lib
+from gagan_tpu.utils import checkpoint as ckpt_lib
+from gagan_tpu.utils.config import generator_config_from_dict
+
+
+class Inferencer:
+    def __init__(self, adaptation_path: str, generator_path: str,
+                 style_latents: Optional[np.ndarray] = None):
+        trees, config = ckpt_lib.load_snapshot(generator_path)
+        self.g_params = trees.get("G_ema", trees.get("G"))
+        self.g_cfg = generator_config_from_dict(config["g_cfg"])
+
+        meta, offsets, extra = ckpt_lib.load_adaptation(adaptation_path)
+        self.model_type = meta["model_type"]
+        self.parametrization = meta["parametrization"]
+        if self.model_type in ("parametrization", "offsets"):
+            self.spec = offs_lib.OffsetsSpec.from_string(self.parametrization)
+            self.hooks = offs_lib.make_hooks(self.spec, offsets)
+        elif self.model_type == "original":
+            # Full finetune: the checkpoint stores replacement G params.
+            self.hooks = None
+            merged = jax.tree.map(lambda x: x, self.g_params)
+            self._merge(merged, offsets)
+            self.g_params_adapted = merged
+        else:
+            raise ValueError(f"unsupported model_type {self.model_type}")
+
+        self.style_latents = (jnp.asarray(style_latents)
+                              if style_latents is not None else None)
+        if extra is not None and "style_latents" in extra:
+            self.style_latents = jnp.asarray(extra["style_latents"])
+
+        self._forward = jax.jit(self._forward_impl,
+                                static_argnames=("mtg", "truncation"))
+
+    @staticmethod
+    def _merge(dst, src):
+        for k, v in src.items():
+            if k in dst:
+                if isinstance(v, dict):
+                    Inferencer._merge(dst[k], v)
+                else:
+                    dst[k] = jnp.asarray(v)
+
+    def _adapted(self):
+        if self.model_type == "original":
+            return self.g_params_adapted, None
+        return self.g_params, self.hooks
+
+    def _forward_impl(self, z, truncation, mtg: bool):
+        g_cfg = self.g_cfg
+        ws = sg2.mapping_apply(g_cfg.mapping, self.g_params["mapping"], z,
+                               truncation_psi=truncation)
+        if mtg and self.style_latents is not None:
+            # MTG mixing: medium/fine w layers come from the style image
+            # (example_utils.py:86-96).
+            style = jnp.broadcast_to(self.style_latents, ws.shape)
+            layer_idx = jnp.arange(g_cfg.num_ws)[None, :, None]
+            ws = jnp.where(layer_idx < 7, ws, style)
+        src = sg2.synthesis_apply(g_cfg.synthesis, self.g_params["synthesis"],
+                                  ws, noise_mode="const")
+        params, hooks = self._adapted()
+        trg = sg2.synthesis_apply(g_cfg.synthesis, params["synthesis"], ws,
+                                  noise_mode="const", hooks=hooks)
+        return src, trg
+
+    def __call__(self, z, truncation: float = 1.0,
+                 mtg_mixing: bool = False) -> Tuple[jax.Array, jax.Array]:
+        """Returns (source images, adapted images) in [-1, 1]."""
+        return self._forward(z, truncation, mtg_mixing)

@@ -504,6 +504,11 @@ def synthesis_layer_apply(
         x, weight, styles,
         noise=None, up=up, padding=weight.shape[-1] // 2,
         resample_filter=resample_filter, flip_weight=(up == 1))
+    # Post-conv activation hook (per-sample output-channel offsets, e.g.
+    # mapper 'out' heads — equivalent to the reference's post-demodulation
+    # cout weight patches, stylegan_patches.py:149-215).
+    if hooks is not None and "post" in hooks.get(layer_name, {}):
+        x = hooks[layer_name]["post"](x)
     if noise is not None:
         x = x + noise.astype(x.dtype)
 
@@ -529,6 +534,8 @@ def torgb_layer_apply(
     styles = _layer_styles(cfg, lp, w, weight_gain, layer_name, hooks)
     weight = _layer_weight(lp, layer_name, hooks)
     x = modulated_conv2d(x, weight, styles, demodulate=False)
+    if hooks is not None and "post" in hooks.get(layer_name, {}):
+        x = hooks[layer_name]["post"](x)
     return bias_act(x, lp["bias"].astype(x.dtype), clamp=cfg.conv_clamp)
 
 
