@@ -1,0 +1,76 @@
+"""pSp/e4e encoder parity vs the reference torch implementation (random
+weights, converted), plus wrapper behavior."""
+
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from gagan_tpu.inversion import encoders as enc
+from gagan_tpu.utils import checkpoint as ckpt_lib
+
+from . import oracle  # noqa: F401  (adds reference paths)
+
+
+@pytest.fixture(scope="module")
+def ref_pair():
+    import sys
+
+    sys.path.insert(0, "/root/reference/SimilarDomains")
+    from restyle_encoders.encoders import psp_encoders
+
+    opts = types.SimpleNamespace(stylegan_size=256)
+    torch.manual_seed(0)
+    psp = psp_encoders.GradualStyleEncoder(50, "ir_se", opts).eval()
+    e4e = psp_encoders.Encoder4Editing(50, "ir_se", opts).eval()
+    # Share weights: load psp weights into e4e where names coincide.
+    e4e.load_state_dict(psp.state_dict(), strict=False)
+
+    cfg = enc.EncoderConfig(stylegan_size=256)
+    params = ckpt_lib.flat_to_tree(
+        {k: v.detach().numpy() for k, v in psp.state_dict().items()
+         if "num_batches_tracked" not in k})
+    return psp, e4e, cfg, params
+
+
+def test_backbone_taps(ref_pair):
+    psp, _, cfg, params = ref_pair
+    x = np.random.RandomState(0).randn(1, 3, 256, 256).astype(np.float32)
+    feats = enc.backbone_features(params, jnp.asarray(x))
+    assert feats["c1"].shape == (1, 128, 64, 64)
+    assert feats["c2"].shape == (1, 256, 32, 32)
+    assert feats["c3"].shape == (1, 512, 16, 16)
+
+
+def test_psp_parity(ref_pair):
+    psp, _, cfg, params = ref_pair
+    x = np.random.RandomState(1).randn(2, 3, 256, 256).astype(np.float32)
+    with torch.no_grad():
+        want = psp(torch.from_numpy(x)).numpy()
+    got = np.asarray(enc.psp_encode(cfg, params, jnp.asarray(x)))
+    assert got.shape == want.shape == (2, cfg.style_count, 512)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_e4e_parity(ref_pair):
+    _, e4e, cfg, params = ref_pair
+    x = np.random.RandomState(2).randn(2, 3, 256, 256).astype(np.float32)
+    with torch.no_grad():
+        want = e4e(torch.from_numpy(x)).numpy()
+    got = np.asarray(enc.e4e_encode(cfg, params, jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_wrapper_latent_avg(ref_pair):
+    _, _, cfg, params = ref_pair
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 3, 64, 64)
+                    .astype(np.float32))
+    avg = jnp.ones((cfg.style_count, 512))
+    ws = enc.encode_image_to_wplus(cfg, params, x, latent_avg=avg)
+    ws0 = enc.encode_image_to_wplus(cfg, params, x)
+    np.testing.assert_allclose(np.asarray(ws - ws0), 1.0, rtol=1e-4)
