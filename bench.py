@@ -22,10 +22,11 @@ BASELINE_A100_IMGS_PER_SEC = 35.0
 def main():
     from gagan_tpu.models import stylegan2 as sg2
 
-    batch = 8
+    batch = 32
     cfg = sg2.GeneratorConfig(
         img_resolution=1024,
-        synthesis=sg2.SynthesisConfig(num_fp16_res=4, conv_clamp=256),
+        synthesis=sg2.SynthesisConfig(num_fp16_res=4, conv_clamp=256,
+                                      packed_last_block=True),
     )
     params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
 

@@ -90,6 +90,10 @@ class SynthesisConfig:
     resample_filter: Tuple[int, ...] = (1, 3, 3, 1)
     activation: str = "lrelu"
     use_noise: bool = True
+    # Space-to-depth fast path for the final (lowest-channel) block: exact
+    # reformulation of its convs on a 2x2-packed grid so the MXU sees 4x the
+    # channels (gagan_tpu.ops.packed).  ~2-3x faster tail on TPU.
+    packed_last_block: bool = False
 
     @property
     def block_resolutions(self) -> List[int]:
@@ -347,7 +351,7 @@ def fc_apply(p: Params, x: jax.Array, activation: str = "linear",
             w = (1.0 + weight_offset) * w
     in_features = w.shape[1]
     w = w.astype(x.dtype) * (lr_multiplier / np.sqrt(in_features))
-    x = jnp.matmul(x, w.T, precision=jax.lax.Precision.HIGHEST)
+    x = jnp.matmul(x, w.T)
     b = p.get("bias")
     if b is not None and lr_multiplier != 1.0:
         b = b * lr_multiplier
@@ -539,6 +543,102 @@ def torgb_layer_apply(
     return bias_act(x, lp["bias"].astype(x.dtype), clamp=cfg.conv_clamp)
 
 
+def _packed_last_block(cfg, block, x, img, block_ws, noise_mode, rng, hooks,
+                       res, dtype):
+    """Last synthesis block on the 2x2-packed grid (exact; ops/packed.py)."""
+    from gagan_tpu.ops import packed as pk
+
+    taps = jnp.asarray(cfg.resample_filter, jnp.float32)
+    taps = taps / jnp.sum(taps)
+    spec = activation_funcs[cfg.activation]
+    batch = x.shape[0]
+
+    def lrng(name):
+        return (jax.random.fold_in(rng, hash(name) % (2 ** 31))
+                if rng is not None else None)
+
+    def demod_coefs(weight, styles):
+        w32 = weight.astype(jnp.float32)
+        s32 = styles.astype(jnp.float32)
+        wsq = jnp.sum(jnp.square(w32), axis=(2, 3))
+        return jax.lax.rsqrt(
+            jnp.einsum("ni,oi->no", jnp.square(s32), wsq) + 1e-8)
+
+    def packed_noise(lp, name, out_ch):
+        if not cfg.use_noise or noise_mode == "none":
+            return None
+        if noise_mode == "const":
+            nz = lp["noise_const"][None, None] * lp["noise_strength"]
+        else:
+            nz = jax.random.normal(lrng(name), (batch, 1, res, res),
+                                   dtype=jnp.float32) * lp["noise_strength"]
+        nz_p = pk.pack(nz)                                # [., 4, res/2, res/2]
+        return jnp.repeat(nz_p, out_ch, axis=1)           # cell-major tile
+
+    def act(lp, y, out_ch):
+        bias = pk.pack_channel_tile(lp["bias"])
+        return bias_act(y, bias.astype(y.dtype), act=cfg.activation,
+                        gain=spec.def_gain, clamp=cfg.conv_clamp)
+
+    # conv0: unpacked input -> packed output via the composed up-conv kernel.
+    lp = block["conv0"]
+    name0 = f"b{res}.conv0"
+    styles = _layer_styles(cfg, lp, block_ws[0], 1.0, name0, hooks)
+    weight = _layer_weight(lp, name0, hooks)
+    out_ch = weight.shape[0]
+    d = demod_coefs(weight, styles)
+    wp = pk.build_packed_upconv(weight, taps)
+    h = x * styles.astype(x.dtype)[:, :, None, None]
+    h = pk.conv_packed(h, wp.astype(dtype))
+    h = h * pk.pack_channel_tile(d).astype(h.dtype)[:, :, None, None]
+    nz = packed_noise(lp, name0, out_ch)
+    if nz is not None:
+        h = h + nz.astype(h.dtype)
+    h = act(lp, h, out_ch)
+
+    # conv1: packed -> packed.
+    lp = block["conv1"]
+    name1 = f"b{res}.conv1"
+    styles = _layer_styles(cfg, lp, block_ws[1], 1.0, name1, hooks)
+    weight = _layer_weight(lp, name1, hooks)
+    out_ch = weight.shape[0]
+    d = demod_coefs(weight, styles)
+    wp = pk.build_packed_conv3x3(weight)
+    h = h * pk.pack_channel_tile(styles).astype(h.dtype)[:, :, None, None]
+    h = pk.conv_packed(h, wp.astype(dtype))
+    h = h * pk.pack_channel_tile(d).astype(h.dtype)[:, :, None, None]
+    nz = packed_noise(lp, name1, out_ch)
+    if nz is not None:
+        h = h + nz.astype(h.dtype)
+    h = act(lp, h, out_ch)
+
+    # torgb: packed 1x1 (block-diagonal over cells), no demod.
+    lp = block["torgb"]
+    name2 = f"b{res}.torgb"
+    in_ch = lp["weight"].shape[1]
+    weight_gain = 1.0 / np.sqrt(in_ch)
+    styles = _layer_styles(cfg, lp, block_ws[2], weight_gain, name2, hooks)
+    weight = _layer_weight(lp, name2, hooks)
+    img_ch = weight.shape[0]
+    wrgb = jnp.zeros((4 * img_ch, 4 * in_ch, 1, 1), dtype=weight.dtype)
+    for cell in range(4):
+        wrgb = wrgb.at[cell * img_ch:(cell + 1) * img_ch,
+                       cell * in_ch:(cell + 1) * in_ch].set(weight)
+    y = h * pk.pack_channel_tile(styles).astype(h.dtype)[:, :, None, None]
+    y = pk.conv_packed(y, wrgb.astype(dtype))
+    y = bias_act(y, pk.pack_channel_tile(lp["bias"]).astype(y.dtype),
+                 clamp=cfg.conv_clamp)
+    y = y.astype(jnp.float32)
+
+    # skip-img upsample directly into the packed layout.
+    if img is not None:
+        img = pk.fir_upsample_packed(img, taps)
+        img = img + y
+    else:
+        img = y
+    return pk.unpack(img)
+
+
 def synthesis_apply(
     cfg: SynthesisConfig,
     params: Params,
@@ -569,6 +669,15 @@ def synthesis_apply(
 
         def lrng(name):
             return jax.random.fold_in(rng, hash(name) % (2 ** 31)) if rng is not None else None
+
+        if (cfg.packed_last_block and res == cfg.img_resolution and res > 4
+                and cfg.architecture == "skip"
+                and not (hooks and any(
+                    "post" in hooks.get(f"b{res}.{l}", {})
+                    for l in ("conv0", "conv1", "torgb")))):
+            return _packed_last_block(cfg, block, x.astype(dtype), img,
+                                      block_ws, noise_mode, rng, hooks, res,
+                                      dtype)
 
         if res == 4:
             x = jnp.repeat(block["const"].astype(dtype)[None], batch, axis=0)

@@ -49,7 +49,6 @@ def _conv2d(
         lhs_dilation=lhs_dilation,
         feature_group_count=groups,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
     )
 
 

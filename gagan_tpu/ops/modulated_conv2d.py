@@ -62,8 +62,7 @@ def modulated_conv2d(
         s32 = styles.astype(jnp.float32)
         wsq = jnp.sum(jnp.square(w32), axis=(2, 3))                 # [O, I]
         dcoefs = jax.lax.rsqrt(
-            jnp.einsum("ni,oi->no", jnp.square(s32), wsq,
-                       precision=jax.lax.Precision.HIGHEST) + 1e-8
+            jnp.einsum("ni,oi->no", jnp.square(s32), wsq) + 1e-8
         )                                                            # [N, O]
 
     x = x * styles.astype(x.dtype)[:, :, None, None]

@@ -103,7 +103,6 @@ def _depthwise_conv(
         lhs_dilation=lhs_dilation,
         feature_group_count=num_channels,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
     )
 
 
