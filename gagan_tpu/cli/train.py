@@ -116,12 +116,14 @@ def main(outdir, data, n_devices, cfg, kimg, batch, gamma, cond, mirror,
         mapping=sg2.MappingConfig(num_layers=spec["map"]),
         synthesis=sg2.SynthesisConfig(
             channel_base=int(spec["fmaps"] * 32768), channel_max=512,
-            num_fp16_res=4, conv_clamp=256))
+            num_fp16_res=4, conv_clamp=256,
+            packed_last_block=(res >= 64), remat=(res >= 512)))
     d_cfg = sg2.DiscriminatorConfig(
         c_dim=dataset.label_dim if cond else 0, img_resolution=res,
         img_channels=dataset.num_channels,
         channel_base=int(spec["fmaps"] * 32768), channel_max=512,
-        num_fp16_res=4, conv_clamp=256, mbstd_group_size=spec["mbstd"])
+        num_fp16_res=4, conv_clamp=256, mbstd_group_size=spec["mbstd"],
+        packed_first_block=(res >= 64), remat=(res >= 512))
 
     train_cfg = ts.TrainConfig(
         g_lr=spec["glrate"], d_lr=spec["dlrate"],

@@ -94,6 +94,10 @@ class SynthesisConfig:
     # reformulation of its convs on a 2x2-packed grid so the MXU sees 4x the
     # channels (gagan_tpu.ops.packed).  ~2-3x faster tail on TPU.
     packed_last_block: bool = False
+    # Rematerialize each synthesis block in the backward pass
+    # (jax.checkpoint): trades recompute for activation memory — needed for
+    # 1024-square training on a single 16 GB chip.
+    remat: bool = False
 
     @property
     def block_resolutions(self) -> List[int]:
@@ -182,6 +186,10 @@ class DiscriminatorConfig:
     mbstd_group_size: Optional[int] = 4
     mbstd_num_channels: int = 1
     freeze_layers: int = 0
+    remat: bool = False
+    # Space-to-depth fast path for the first (highest-res, lowest-channel)
+    # block, mirroring SynthesisConfig.packed_last_block.
+    packed_first_block: bool = False
     mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
 
     @property
@@ -675,31 +683,49 @@ def synthesis_apply(
                 and not (hooks and any(
                     "post" in hooks.get(f"b{res}.{l}", {})
                     for l in ("conv0", "conv1", "torgb")))):
+            if cfg.remat and hooks is None:
+                packed_fn = jax.checkpoint(
+                    lambda block, x, img, block_ws, rng: _packed_last_block(
+                        cfg, block, x, img, block_ws, noise_mode, rng, None,
+                        res, dtype))
+                return packed_fn(block, x.astype(dtype), img, block_ws, rng)
             return _packed_last_block(cfg, block, x.astype(dtype), img,
                                       block_ws, noise_mode, rng, hooks, res,
                                       dtype)
 
-        if res == 4:
-            x = jnp.repeat(block["const"].astype(dtype)[None], batch, axis=0)
-            x = synthesis_layer_apply(
-                cfg, block["conv1"], x, block_ws[0], res, 1, resample_filter,
-                f"b{res}.conv1", noise_mode, lrng(f"b{res}.conv1"), hooks=hooks)
-        else:
-            x = x.astype(dtype)
-            x = synthesis_layer_apply(
-                cfg, block["conv0"], x, block_ws[0], res, 2, resample_filter,
-                f"b{res}.conv0", noise_mode, lrng(f"b{res}.conv0"), hooks=hooks)
-            x = synthesis_layer_apply(
-                cfg, block["conv1"], x, block_ws[1], res, 1, resample_filter,
-                f"b{res}.conv1", noise_mode, lrng(f"b{res}.conv1"), hooks=hooks)
+        def block_fn(block, x, img, block_ws, res=res, dtype=dtype,
+                     num_conv=num_conv):
+            if res == 4:
+                x = jnp.repeat(block["const"].astype(dtype)[None], batch,
+                               axis=0)
+                x = synthesis_layer_apply(
+                    cfg, block["conv1"], x, block_ws[0], res, 1,
+                    resample_filter, f"b{res}.conv1", noise_mode,
+                    lrng(f"b{res}.conv1"), hooks=hooks)
+            else:
+                x = x.astype(dtype)
+                x = synthesis_layer_apply(
+                    cfg, block["conv0"], x, block_ws[0], res, 2,
+                    resample_filter, f"b{res}.conv0", noise_mode,
+                    lrng(f"b{res}.conv0"), hooks=hooks)
+                x = synthesis_layer_apply(
+                    cfg, block["conv1"], x, block_ws[1], res, 1,
+                    resample_filter, f"b{res}.conv1", noise_mode,
+                    lrng(f"b{res}.conv1"), hooks=hooks)
 
-        if img is not None:
-            img = upsample2d(img, resample_filter)
-        if cfg.architecture == "skip" or res == cfg.img_resolution:
-            y = torgb_layer_apply(cfg, params[f"b{res}"]["torgb"], x,
-                                  block_ws[num_conv], f"b{res}.torgb", hooks=hooks)
-            y = y.astype(jnp.float32)
-            img = y if img is None else img + y
+            if img is not None:
+                img = upsample2d(img, resample_filter)
+            if cfg.architecture == "skip" or res == cfg.img_resolution:
+                y = torgb_layer_apply(cfg, block["torgb"], x,
+                                      block_ws[num_conv], f"b{res}.torgb",
+                                      hooks=hooks)
+                y = y.astype(jnp.float32)
+                img = y if img is None else img + y
+            return x, img
+
+        if cfg.remat:
+            block_fn = jax.checkpoint(block_fn)
+        x, img = block_fn(block, x, img, block_ws)
     return img
 
 
@@ -853,11 +879,48 @@ def discriminator_apply(
 ) -> jax.Array:
     """Discriminator forward (reference networks.py:1373-1437)."""
     resample_filter = setup_filter(cfg.resample_filter)
-    x = None
-    for res in cfg.block_resolutions:
-        block = params[f"b{res}"]
-        dtype = (jnp.bfloat16 if res >= cfg.bf16_resolution and not force_fp32
-                 else jnp.float32)
+
+    def d_first_block_packed(block, img, dtype):
+        """First resnet block on the packed grid (ops/packed.py): fromrgb
+        1x1 -> cell-diagonal conv; conv0 3x3 -> packed conv; conv1/skip
+        (down=2) -> composed packed->unpacked kernels."""
+        from gagan_tpu.ops import packed as pk
+
+        taps = jnp.asarray(cfg.resample_filter, jnp.float32)
+        taps = taps / jnp.sum(taps)
+        spec = activation_funcs[cfg.activation]
+
+        def gains(w):
+            o, i, kh, kw = w.shape
+            return w * (1.0 / np.sqrt(i * kh * kw))
+
+        img_p = pk.pack(img.astype(dtype))
+        w = gains(block["fromrgb"]["weight"])
+        x = pk.conv_packed(img_p, pk.build_packed_conv1x1(w).astype(dtype))
+        x = bias_act(x, pk.pack_channel_tile(
+            block["fromrgb"]["bias"]).astype(x.dtype), act=cfg.activation,
+            gain=spec.def_gain, clamp=cfg.conv_clamp)
+
+        w = gains(block["conv0"]["weight"])
+        y = pk.conv_packed(x, pk.build_packed_conv3x3(w).astype(dtype))
+        y = bias_act(y, pk.pack_channel_tile(
+            block["conv0"]["bias"]).astype(y.dtype), act=cfg.activation,
+            gain=spec.def_gain, clamp=cfg.conv_clamp)
+
+        w = gains(block["conv1"]["weight"])
+        y = pk.conv_packed(y, pk.build_packed_downconv(w, taps).astype(dtype))
+        g = float(np.sqrt(0.5))
+        y = bias_act(y, block["conv1"]["bias"].astype(y.dtype),
+                     act=cfg.activation, gain=spec.def_gain * g,
+                     clamp=cfg.conv_clamp * g if cfg.conv_clamp else None)
+
+        w = gains(block["skip"]["weight"])
+        sk = pk.conv_packed(x, pk.build_packed_down1x1(w, taps).astype(dtype))
+        sk = sk * jnp.asarray(g, sk.dtype)
+        return sk + y, (downsample2d(img, resample_filter)
+                        if cfg.architecture == "skip" else None)
+
+    def d_block(block, x, img, dtype):
         if x is not None:
             x = x.astype(dtype)
         if "fromrgb" in block:
@@ -886,6 +949,24 @@ def discriminator_apply(
             x = conv2d_layer_apply(block["conv1"], x, cfg.activation, down=2,
                                    resample_filter=resample_filter,
                                    conv_clamp=cfg.conv_clamp)
+        return x, img
+
+    if cfg.remat:
+        d_block = jax.checkpoint(d_block, static_argnums=(3,))
+
+    x = None
+    for res in cfg.block_resolutions:
+        block = params[f"b{res}"]
+        dtype = (jnp.bfloat16 if res >= cfg.bf16_resolution and not force_fp32
+                 else jnp.float32)
+        if (cfg.packed_first_block and res == cfg.img_resolution and res > 4
+                and cfg.architecture == "resnet"):
+            fb = d_first_block_packed
+            if cfg.remat:
+                fb = jax.checkpoint(fb, static_argnums=(2,))
+            x, img = fb(block, img, dtype)
+            continue
+        x, img = d_block(block, x, img, dtype)
 
     cmap = None
     if cfg.c_dim > 0:

@@ -197,3 +197,71 @@ def conv_packed(x: jax.Array, wp: jax.Array, groups: int = 1) -> jax.Array:
         x, wp.astype(x.dtype), (1, 1), ((pad, pad), (pad, pad)),
         feature_group_count=groups,
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+
+def build_packed_downconv(w: jax.Array, f: jax.Array) -> jax.Array:
+    """Composed (FIR + stride-2 3x3 conv) kernel, packed -> unpacked.
+
+    Matches conv2d_resample(x, w, f, down=2, padding=1, flip_weight=True):
+    returns Wp [O, 4I, 3, 3] such that
+    conv(pack(x), Wp, pad 1) == conv2d_resample(x, w, f, down=2, padding=1).
+
+    1D: y[m] = sum_c G[c] x[2m + c - 2], G = conv(w, flip(f)) (support 6);
+    packed input cell p at block offset d: c = 2d + p + 2.
+    """
+    assert f.ndim == 1 and f.shape[0] == 4
+    out_ch, in_ch = w.shape[0], w.shape[1]
+    f_flip = jnp.flip(f)
+    # G2 = w *conv* outer(f_flip, f_flip): [O, I, 6, 6].  (w used unflipped:
+    # flip_weight=True means correlation with w.)
+    g = _kernel_conv2d(w, jnp.outer(f_flip, f_flip))
+    wp = jnp.zeros((out_ch, 4 * in_ch, 3, 3), dtype=w.dtype)
+    for p in range(2):
+        for q in range(2):
+            for d in (-1, 0, 1):
+                for e in (-1, 0, 1):
+                    cy = 2 * d + p + 2
+                    cx = 2 * e + q + 2
+                    if 0 <= cy < 6 and 0 <= cx < 6:
+                        wp = wp.at[
+                            :, (p * 2 + q) * in_ch:(p * 2 + q + 1) * in_ch,
+                            d + 1, e + 1,
+                        ].set(g[:, :, cy, cx])
+    return wp
+
+
+def build_packed_down1x1(w: jax.Array, f: jax.Array) -> jax.Array:
+    """Composed (FIR + down-2) for a 1x1 conv (the resnet skip):
+    conv2d_resample(x, w, f, down=2, padding=0) with kw=1.
+
+    1D: y[m] = sum_b Ff[b] x[2m + b - 1]; packed: b = 2d + p + 1.
+    Returns Wp [O, 4I, 3, 3].
+    """
+    assert f.ndim == 1 and f.shape[0] == 4
+    out_ch, in_ch = w.shape[0], w.shape[1]
+    f_flip = jnp.flip(f)
+    g2 = jnp.outer(f_flip, f_flip)             # [4, 4] spatial
+    wp = jnp.zeros((out_ch, 4 * in_ch, 3, 3), dtype=w.dtype)
+    w11 = w[:, :, 0, 0]
+    for p in range(2):
+        for q in range(2):
+            for d in (-1, 0, 1):
+                for e in (-1, 0, 1):
+                    by = 2 * d + p + 1
+                    bx = 2 * e + q + 1
+                    if 0 <= by < 4 and 0 <= bx < 4:
+                        wp = wp.at[
+                            :, (p * 2 + q) * in_ch:(p * 2 + q + 1) * in_ch,
+                            d + 1, e + 1,
+                        ].set(w11 * g2[by, bx])
+    return wp
+
+
+def build_packed_conv1x1(w: jax.Array) -> jax.Array:
+    """Cell-diagonal packed kernel for a 1x1 conv (fromrgb/torgb)."""
+    out_ch, in_ch = w.shape[0], w.shape[1]
+    wp = jnp.zeros((4 * out_ch, 4 * in_ch, 1, 1), dtype=w.dtype)
+    for cell in range(4):
+        wp = wp.at[cell * out_ch:(cell + 1) * out_ch,
+                   cell * in_ch:(cell + 1) * in_ch].set(w)
+    return wp

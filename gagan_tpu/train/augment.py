@@ -73,6 +73,9 @@ class AugmentConfig:
     cutout: float = 0.0
     noise_std: float = 0.1
     cutout_size: float = 0.5
+    # Static reflect-pad margin under jit: width // jit_margin_divisor
+    # (+ filter support).  See the geometric-execution note below.
+    jit_margin_divisor: int = 4
 
 
 # Preset table mirroring train.py augpipe_specs (train.py:357-370).
@@ -354,12 +357,20 @@ def augment_pipe(
         margin = jnp.clip(margin, 0, None)
         margin = jnp.minimum(margin, jnp.asarray(
             [width - 1, height - 1] * 2, jnp.float32))
-        # Static padding: use the data-independent upper bound so shapes stay
-        # static under jit (margin is data-dependent in the reference; we pad
-        # to the max and let the affine matrix see the true origin shift).
-        mx0, my0, mx1, my1 = [int(v) for v in np.ceil(np.asarray(
-            jax.lax.stop_gradient(margin))) ] if not isinstance(
-                margin, jax.core.Tracer) else [width - 1, height - 1] * 2
+        # Padding must be static under jit (the reference's margin is
+        # data-dependent, augment.py:339-350).  Eagerly we use the exact
+        # margin; when traced we use a bounded static margin
+        # (jit_margin_divisor): draws whose transformed corners exceed it
+        # sample zeros where the reference would sample reflected pixels —
+        # a rare-tail-only deviation (the reference itself clamps at
+        # width-1, and typical geometric draws stay well inside width//4).
+        if isinstance(margin, jax.core.Tracer):
+            sx = min(Hz_pad * 2 + width // cfg.jit_margin_divisor, width - 1)
+            sy = min(Hz_pad * 2 + height // cfg.jit_margin_divisor, height - 1)
+            mx0, my0, mx1, my1 = sx, sy, sx, sy
+        else:
+            mx0, my0, mx1, my1 = [int(v) for v in np.ceil(np.asarray(
+                jax.lax.stop_gradient(margin)))]
         images = jnp.pad(images, ((0, 0), (0, 0), (my0, my1), (mx0, mx1)),
                          mode="reflect")
         G_inv = translate2d((mx0 - mx1) / 2, (my0 - my1) / 2) @ G_inv
@@ -372,7 +383,16 @@ def augment_pipe(
         out_w = (width + Hz_pad * 2) * 2
         G_inv = (scale2d(2 / images.shape[3], 2 / images.shape[2]) @ G_inv
                  @ scale2d_inv(2 / out_w, 2 / out_h))
-        images = affine_grid_sample(images, G_inv[:, :2, :], out_h, out_w)
+        if isinstance(images, jax.core.Tracer):
+            # jit path: gather-free separable warp (gagan_tpu.train.warp) —
+            # XLA's per-pixel gather runs on the TPU scalar core (~650 ms per
+            # call); the dense reformulation is ~20x faster with a slightly
+            # softer (triangle*lerp) interpolation kernel.
+            from gagan_tpu.train.warp import affine_warp
+
+            images = affine_warp(images, G_inv[:, :2, :], out_h, out_w)
+        else:
+            images = affine_grid_sample(images, G_inv[:, :2, :], out_h, out_w)
         images = downsample2d(images, Hz_geom, down=2, padding=-Hz_pad * 2,
                               flip_filter=True)
 

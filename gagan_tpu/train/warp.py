@@ -1,0 +1,215 @@
+"""Gather-free affine image warping for the ADA pipe on TPU.
+
+XLA lowers per-pixel gathers (torch grid_sample style) onto the TPU scalar
+core: the bilinear sampler costs ~650 ms per 32x3x524x524 batch — 20x the
+rest of the augmentation pipe combined.  This module re-expresses the affine
+warp with dense, vectorizable primitives only:
+
+  separable 2-pass decomposition (Catmull-Smith):
+    out[h, w'] = x[v(h, u), u],  u = s*w' + t*h + m,  v = p*h + q*w + r
+  each 1D pass =  per-row integer+fractional shift  (two-hot depthwise conv,
+                  kernel built from iota comparisons — no gather)
+               @  per-sample scale resampling        (banded triangle matmul
+                  on the MXU).
+
+The composed interpolation kernel is triangle (*) lerp per pass — a slightly
+softer antialiasing kernel than pure bilinear (exactly bilinear when the
+pass scale is 1, e.g. pure shears/translations).  The decomposition is
+singular near 90-degree rotations, so a transposed variant is computed and
+selected per sample.  The eager path of the augment pipe keeps the exact
+gather-based sampler for bit-parity tests; this fast path runs under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _row_conv(x: jax.Array, kernel: jax.Array, spatial2: bool = False):
+    """Grouped conv: rows (n, c, h) as channels, kernel [N, H, taps] shared
+    over c.  With ``spatial2`` x is [N, C, H, Wc, B] and the conv runs over
+    the Wc axis only."""
+    n, c, h = x.shape[:3]
+    taps = kernel.shape[-1]
+    kr = jnp.broadcast_to(kernel[:, None], (n, c, h, taps)).reshape(
+        n * c * h, 1, taps)
+    if spatial2:
+        wc, b = x.shape[3], x.shape[4]
+        xr = x.reshape(1, n * c * h, wc, b)
+        y = jax.lax.conv_general_dilated(
+            xr, kr[:, :, :, None], (1, 1), "VALID",
+            feature_group_count=n * c * h,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        return y.reshape(n, c, h, y.shape[2], b)
+    xr = x.reshape(1, n * c * h, 1, x.shape[3])
+    y = jax.lax.conv_general_dilated(
+        xr, kr[:, :, None, :], (1, 1), "VALID",
+        feature_group_count=n * c * h,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return y.reshape(n, c, h, y.shape[3])
+
+
+def _one_hot_block_shift(x: jax.Array, k: jax.Array, block: int,
+                         keep: int) -> jax.Array:
+    """Shift rows by k[n,h]*block pixels via a one-hot conv over blocks.
+
+    x: [N,C,H,W] with W % block == 0; returns [N,C,H,keep*block] containing
+    x[.., k*block : k*block + keep*block]."""
+    n, c, h, w_in = x.shape
+    wc = w_in // block
+    taps = wc - keep + 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, h, taps), 2)
+    k_i = jnp.clip(k.astype(jnp.int32), 0, taps - 1)[:, :, None]
+    kernel = (pos == k_i).astype(x.dtype)
+    xb = x.reshape(n, c, h, wc, block)
+    xc = _row_conv(xb, kernel, spatial2=True)
+    return xc.reshape(n, c, h, keep * block)
+
+
+def _two_hot_shift(x: jax.Array, shift: jax.Array, out_w: int,
+                   blocks=(256, 16)) -> jax.Array:
+    """Per-row fractional shift, multi-level hierarchical (no gather).
+
+    x: [N, C, H, W]; shift: [N, H] (input-pixel offset of output column 0).
+    Returns y [N, C, H, out_w] = lerp(x[h, k+w], x[h, k+w+1], frac(shift)).
+
+    The integer shift splits into block shifts at decreasing granularities
+    (one-hot convs over W/b positions each) plus a final fine two-hot conv,
+    keeping every tap count O(W/b0 + b0/b1 + ... + b_last)."""
+    n, c, h, w_in = x.shape
+    blocks = [b for b in blocks if b > 1 and b * 4 <= w_in]
+    b0 = blocks[0] if blocks else 1
+    pad = (-w_in) % b0 if blocks else 0
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        w_in += pad
+
+    shift = jnp.clip(shift, 0.0, w_in - out_w - 2.0)
+    residual = shift
+    cur = x
+    prev_block = None
+    for b in blocks:
+        k = jnp.floor(residual / b)
+        residual = residual - k * b                 # in [0, b)
+        # Window to keep: enough for out_w + the remaining shift budget.
+        need = out_w + b + 2
+        keep = min(-(-need // b) + 1, cur.shape[-1] // b)
+        cur = _one_hot_block_shift(cur, k, b, keep)
+        prev_block = b
+
+    # Fine: two-hot over the last level's granularity.
+    k_f = jnp.floor(residual)
+    f = (residual - k_f).astype(x.dtype)
+    taps_f = cur.shape[-1] - out_w + 1
+    pos_f = jax.lax.broadcasted_iota(jnp.int32, (n, h, taps_f), 2)
+    k_fi = k_f.astype(jnp.int32)[:, :, None]
+    kernel_f = ((pos_f == k_fi).astype(x.dtype) * (1.0 - f[:, :, None])
+                + (pos_f == k_fi + 1).astype(x.dtype) * f[:, :, None])
+    return _row_conv(cur, kernel_f)
+
+
+def _scale_matmul(x: jax.Array, scale: jax.Array, offset: jax.Array,
+                  out_w: int) -> jax.Array:
+    """Per-sample triangle-kernel resampling y[w'] = sum_w x[w] tri(s*w'+o-w).
+
+    x: [N, C, H, W]; scale, offset: [N].  Dense banded matmul on the MXU.
+    """
+    n, c, h, w_in = x.shape
+    wp = jax.lax.broadcasted_iota(jnp.float32, (n, w_in, out_w), 2)
+    wi = jax.lax.broadcasted_iota(jnp.float32, (n, w_in, out_w), 1)
+    u = scale[:, None, None] * wp + offset[:, None, None]
+    b = jnp.maximum(0.0, 1.0 - jnp.abs(u - wi)).astype(x.dtype)
+    return jnp.einsum("nchw,nwv->nchv", x, b)
+
+
+def _pixel_affine_from_theta(theta: jax.Array, in_h: int, in_w: int,
+                             out_h: int, out_w: int):
+    """theta [N, 2, 3] (normalized coords, torch affine_grid convention) ->
+    pixel-space coefficients: ix = axx*ow + axy*oh + ax0 (same for iy)."""
+    # gx = (2 ow + 1)/out_w - 1;  ix = (sx + 1) * in_w / 2 - 0.5.
+    def coefs(row, in_dim):
+        a, b, cst = theta[:, row, 0], theta[:, row, 1], theta[:, row, 2]
+        cx = a * (2.0 / out_w) * (in_dim / 2.0)
+        cy = b * (2.0 / out_h) * (in_dim / 2.0)
+        c0 = ((a * (1.0 / out_w - 1.0) + b * (1.0 / out_h - 1.0) + cst + 1.0)
+              * (in_dim / 2.0) - 0.5)
+        return cx, cy, c0
+
+    axx, axy, ax0 = coefs(0, in_w)
+    ayx, ayy, ay0 = coefs(1, in_h)
+    return (axx, axy, ax0), (ayx, ayy, ay0)
+
+
+def _warp_yx(x: jax.Array, coef_x, coef_y, out_h: int, out_w: int,
+             eps: float = 1e-3) -> jax.Array:
+    """2-pass warp: vertical resample then horizontal.
+
+    ix = s*w' + t*h' + m;  iy = (p)*h' + q*ix + r with q = ayx/axx.
+    Singular as axx -> 0 (caller provides the transposed variant).
+    """
+    n, c, in_h, in_w = x.shape
+    (axx, axy, ax0) = coef_x
+    (ayx, ayy, ay0) = coef_y
+    sign = jnp.where(axx >= 0, 1.0, -1.0)
+    axx_safe = jnp.where(jnp.abs(axx) < eps, sign * eps, axx)
+    q = ayx / axx_safe
+    p = ayy - q * axy
+    r = ay0 - q * ax0
+
+    def shift_scale_pass(data, shifts, scale, out_dim):
+        """data [N,C,R,D]; sample positions scale*j + shifts[n,row], j in
+        [0, out_dim); returns [N,C,R,out_dim].
+
+        Sizing: shifts are covered for |shifts + base| <= D (clamped beyond —
+        extreme-tail draws only); the scale window covers |scale| <= ~2.
+        """
+        d = data.shape[-1]
+        window = 2 * out_dim + 4          # in-window span: covers |scale|<=2
+        max_shift = d                     # static shift coverage
+        pad_low = max_shift + 1           # window origin k >= 0
+        pad_high = pad_low + window + 4
+        data = jnp.pad(data, ((0, 0), (0, 0), (0, 0), (pad_low, pad_high)))
+        # base absorbs negative scales so in-window positions start >= 1.
+        base = jnp.minimum(0.0, scale * (out_dim - 1)) - 1.0
+        shifted = _two_hot_shift(data, shifts + base[:, None] + pad_low,
+                                 window)
+        return _scale_matmul(shifted, scale, -base, out_dim)
+
+    # ---- Pass 1 (vertical): I1[h', w] = x[p*h' + q*w + r, w] ----
+    xt = jnp.swapaxes(x, 2, 3)                     # [N, C, W, H]
+    w_idx = jnp.arange(in_w, dtype=jnp.float32)
+    shift_v = q[:, None] * w_idx[None, :] + r[:, None]     # [N, W]
+    i1 = shift_scale_pass(xt, shift_v, p, out_h)
+    i1 = jnp.swapaxes(i1, 2, 3)                    # [N, C, out_h, W]
+
+    # ---- Pass 2 (horizontal): out[h', w'] = I1[h', s*w' + t*h' + m] ----
+    h_idx = jnp.arange(out_h, dtype=jnp.float32)
+    shift_u = axy[:, None] * h_idx[None, :] + ax0[:, None]  # [N, out_h]
+    return shift_scale_pass(i1, shift_u, axx, out_w)
+
+
+def affine_warp(images: jax.Array, theta: jax.Array, out_h: int,
+                out_w: int) -> jax.Array:
+    """Gather-free replacement for affine_grid_sample (same signature).
+
+    Computes the normal and transposed 2-pass variants and selects per
+    sample by which diagonal dominates (rotation quadrant).
+    """
+    n, c, in_h, in_w = images.shape
+    coef_x, coef_y = _pixel_affine_from_theta(theta, in_h, in_w, out_h, out_w)
+    out_a = _warp_yx(images, coef_x, coef_y, out_h, out_w)
+
+    # Transposed variant: sample x^T, so the roles of ix/iy swap while the
+    # output grid stays put — near-90-degree rotations make the off-diagonal
+    # coefficients dominant and this variant well-conditioned.
+    images_t = jnp.swapaxes(images, 2, 3)
+    (axx, axy, ax0) = coef_x
+    (ayx, ayy, ay0) = coef_y
+    out_b = _warp_yx(images_t, coef_y, coef_x, out_h, out_w)
+
+    use_a = (jnp.abs(axx * ayy) >= jnp.abs(axy * ayx))[:, None, None, None]
+    return jnp.where(use_a, out_a, out_b)

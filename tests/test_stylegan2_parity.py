@@ -220,3 +220,42 @@ def test_packed_last_block_parity():
     g = jax.grad(loss)(params)
     w_grad = g["synthesis"][f"b{cfg.img_resolution}"]["conv0"]["weight"]
     assert float(jnp.linalg.norm(w_grad)) > 0
+
+
+def test_packed_first_block_discriminator_parity():
+    import dataclasses
+
+    cfg = sg2.DiscriminatorConfig(
+        img_resolution=64, img_channels=3, channel_base=2048,
+        channel_max=128, mbstd_group_size=2)
+    params = sg2.init_discriminator(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+    base = sg2.discriminator_apply(cfg, params, img)
+    packed = sg2.discriminator_apply(
+        dataclasses.replace(cfg, packed_first_block=True), params, img)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_remat_matches_plain():
+    import dataclasses
+
+    cfg = g_cfg(res=32)
+    params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    base = sg2.generator_apply(cfg, params, z)
+    cfg_r = dataclasses.replace(cfg, synthesis=dataclasses.replace(
+        cfg.synthesis, remat=True))
+    rem = sg2.generator_apply(cfg_r, params, z)
+    np.testing.assert_allclose(np.asarray(rem), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, c):
+        return jnp.mean(jnp.square(sg2.generator_apply(c, p, z)))
+
+    g1 = jax.grad(lambda p: loss(p, cfg))(params)
+    g2 = jax.grad(lambda p: loss(p, cfg_r))(params)
+    a = g1["synthesis"]["b8"]["conv0"]["weight"]
+    b = g2["synthesis"]["b8"]["conv0"]["weight"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-5)
