@@ -50,6 +50,11 @@ class AdaptationConfig:
     preserve_color: bool = False
     # DiFa:
     use_difa_tokens: bool = True
+    # Adaptive layer freezing (StyleGAN-NADA; common.py:148-198 /
+    # trainers.py:339-356).  0 iters disables the probe.
+    auto_layer_iters: int = 0
+    auto_layer_batch: int = 8
+    auto_layer_k: int = 10
     loss: al.DirectLossConfig = dataclasses.field(
         default_factory=al.DirectLossConfig)
     log_every: int = 10
@@ -133,6 +138,9 @@ class AdaptationTrainer:
                             else None),
         }
         self._step_fn = jax.jit(self._build_step())
+        self._full_mask = jax.tree.map(lambda x: jnp.asarray(1.0, x.dtype),
+                                       self.offsets)
+        self._auto_score_fn = None
 
     # ------------------------------------------------------------------
 
@@ -304,10 +312,11 @@ class AdaptationTrainer:
             return losses["total"], (losses, scc_state)
 
         def step(offsets, opt_state, frozen, z, z2, use_mix, key, scc_state,
-                 cur_iter):
+                 cur_iter, grad_mask):
             (_, (losses, scc_state)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(offsets, frozen, z, z2, use_mix, key,
                                        scc_state, cur_iter)
+            grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
             updates, opt_state = self.tx.update(grads, opt_state, offsets)
             offsets = optax.apply_updates(offsets, updates)
             return offsets, opt_state, losses, scc_state
@@ -316,16 +325,39 @@ class AdaptationTrainer:
 
     # ------------------------------------------------------------------
 
+    def _auto_layer_mask(self, key: jax.Array):
+        """Recompute the per-step trainable-layer mask (trainers.py:339-356:
+        the reference re-runs determine_opt_layers before every step)."""
+        from gagan_tpu.train import auto_layers
+
+        cfg = self.cfg
+        enc = cfg.visual_encoders[0]
+        ccfg, cparams = self.clip_encoders[enc]
+        if self._auto_score_fn is None:
+            self._auto_score_fn = jax.jit(auto_layers.make_layer_score_fn(
+                self.g_cfg, ccfg, cfg.auto_layer_iters))
+        k_z, k_opt = jax.random.split(key)
+        z = jax.random.normal(k_z, (cfg.auto_layer_batch, self.g_cfg.z_dim))
+        scores = self._auto_score_fn(self.g_params, cparams,
+                                     self.domain_embeddings[enc]["trg"],
+                                     z, k_opt)
+        chosen = auto_layers.choose_layers(
+            scores, self.g_cfg.synthesis.layer_names(), cfg.auto_layer_k)
+        return auto_layers.layer_grad_mask(self.offsets, chosen)
+
     def train_step(self) -> Dict[str, float]:
         cfg = self.cfg
-        self.key, k_z, k_z2, k_mix, k_step = jax.random.split(self.key, 5)
+        self.key, k_z, k_z2, k_mix, k_step, k_auto = jax.random.split(
+            self.key, 6)
         z = jax.random.normal(k_z, (cfg.batch_size, self.g_cfg.z_dim))
         z2 = jax.random.normal(k_z2, (cfg.batch_size, self.g_cfg.z_dim))
         use_mix = jax.random.uniform(k_mix) < cfg.mixing_noise
+        mask = (self._auto_layer_mask(k_auto) if cfg.auto_layer_iters > 0
+                else self._full_mask)
         self.offsets, self.opt_state, losses, self.scc_state = self._step_fn(
             self.offsets, self.opt_state, self._frozen, z, z2, use_mix,
             k_step, self.scc_state,
-            jnp.asarray(self.current_step, jnp.float32))
+            jnp.asarray(self.current_step, jnp.float32), mask)
         self.current_step += 1
         return {k: float(v) for k, v in losses.items()}
 
