@@ -122,6 +122,18 @@ _STYLE_KINDS = (
     "additive_w_space",
 )
 
+# SimilarDomains patch_key names (core/parametrizations.py registry) →
+# the unified DissimilarDomains grammar this module speaks.
+_PATCH_KEY_ALIASES = {
+    "s_delta": "additive",
+    "s_mod": "multiplicative",
+    "w_delta": "additive_w_space",
+    "w_mod": "multiplicative_w_space",
+    "cin_mult": "in",
+    "cout_mult": "out",
+    "cfull_mult": "out_in",
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class OffsetsSpec:
@@ -155,7 +167,7 @@ class OffsetsSpec:
         """Parse the comma-separated CLI grammar (split_parameterization)."""
         style = weights = affine = None
         for part in parametrization.split(","):
-            part = part.strip()
+            part = _PATCH_KEY_ALIASES.get(part.strip(), part.strip())
             if not part:
                 continue
             if part in _STYLE_KINDS:

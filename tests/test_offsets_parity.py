@@ -162,3 +162,16 @@ def test_offsets_are_differentiable():
     norms = [float(jnp.linalg.norm(x)) for x in jax.tree.leaves(g)]
     assert all(np.isfinite(norms))
     assert any(n > 0 for n in norms)
+
+
+def test_patch_key_aliases():
+    # SimilarDomains patch_key names parse to the unified grammar
+    # (core/parametrizations.py registry names).
+    from gagan_tpu.params.offsets import OffsetsSpec
+
+    assert OffsetsSpec.from_string("s_delta").style == "additive"
+    assert OffsetsSpec.from_string("s_mod").style == "multiplicative"
+    assert OffsetsSpec.from_string("w_delta").style == "additive_w_space"
+    assert OffsetsSpec.from_string("cin_mult").weights == "in"
+    assert OffsetsSpec.from_string("cout_mult").weights == "out"
+    assert OffsetsSpec.from_string("cfull_mult").weights == "out_in"

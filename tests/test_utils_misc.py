@@ -170,3 +170,68 @@ def test_auto_layer_selection_and_training():
              if max(float(jnp.max(jnp.abs(x)))
                     for x in jax.tree.leaves(layer)) > 0]
     assert 0 < len(moved) <= 2
+
+
+# ----------------------------------------------------------------------------
+
+
+def test_class_registry():
+    from gagan_tpu.utils.registry import ClassRegistry
+
+    reg = ClassRegistry()
+
+    @reg.add_to_registry("trainer_a")
+    class TrainerA:
+        def __init__(self, lr=0.1, steps=5, name="x"):
+            self.lr = lr
+
+    @reg.add_to_registry(["fn_b", "fn_b2"])
+    def fn_b(alpha=1.0, beta=None):
+        return alpha
+
+    assert "trainer_a" in reg and "fn_b2" in reg
+    assert reg["trainer_a"] is TrainerA
+    cfg = reg.args["trainer_a"]()
+    assert cfg.lr == 0.1 and cfg.steps == 5 and cfg.name == "x"
+    cfg_b = reg.args["fn_b"]()
+    assert cfg_b.alpha == 1.0 and cfg_b.beta is None
+    grouped = reg.args and __import__("gagan_tpu.utils.registry",
+                                      fromlist=["x"]).make_dataclass_from_func(
+        TrainerA.__init__, "G", arg_keys=["exp", "training"])()
+    assert grouped.exp.lr == 0.1 and grouped.training.steps == 5
+
+
+def test_download_registry(tmp_path, monkeypatch):
+    from gagan_tpu.utils import download as dl
+
+    with pytest.raises(KeyError):
+        dl.fetch("nope")
+    # Pre-populated archive short-circuits without network.
+    monkeypatch.setenv("GAGAN_PRETRAINED_DIR", str(tmp_path))
+    src = dl.SOURCES["sg2-ffhq"]
+    (tmp_path / src.filename).write_bytes(b"zip")
+    (tmp_path / (src.filename + ".extracted")).write_text("ok")
+    path = dl.fetch("sg2-ffhq")
+    assert str(tmp_path) in path
+
+
+def test_style_images_dataset(tmp_path):
+    import PIL.Image
+
+    from gagan_tpu.data.style_dataset import ImagesDataset
+
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        PIL.Image.fromarray(
+            (rng.rand(96, 80, 3) * 255).astype(np.uint8)).save(
+            tmp_path / f"img{i}.png")
+    ds = ImagesDataset(size=64, image_path=str(tmp_path))
+    assert len(ds) == 2
+    rec = ds[0]
+    assert rec["image_high_res"].shape == (64, 64, 3)
+    assert rec["image_low_res"].shape == (256, 256, 3)
+    assert rec["image_high_res_t"].shape == (3, 64, 64)
+    assert rec["image_high_res_t"].min() >= -1.0
+    assert rec["image_name"] == "img0"
+    with pytest.raises(ValueError):
+        ImagesDataset(size=64, image_path=str(tmp_path), align_input=True)
