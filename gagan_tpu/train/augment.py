@@ -342,7 +342,34 @@ def augment_pipe(
                                         (batch,))
 
     # ----- Execute geometric transformations (augment.py:338-370) -----
-    if geometric:
+    if geometric and isinstance(images, jax.core.Tracer):
+        # jit fast path: gather-free separable warp at NATIVE resolution
+        # (gagan_tpu.train.warp).  Two deliberate deviations from the
+        # reference, both jit-only (the eager path below is exact):
+        #   1. XLA lowers grid_sample's per-pixel gather onto the TPU
+        #      scalar core (~650 ms/batch at 1024) — replaced by dense
+        #      one-hot convs + a banded MXU matmul.
+        #   2. The reference antialiases by upsampling 2x with a FIR,
+        #      warping, then FIR-downsampling (augment.py:352-370), i.e.
+        #      4x the pixels.  Our resampler instead widens its triangle
+        #      kernel to max(1, |scale|) per 1D pass (area-weighted
+        #      minification, torch antialias=True style), which serves
+        #      the same purpose at 1x resolution.
+        #   3. The reference's reflect margin is data-dependent; under
+        #      jit we use a bounded static margin (jit_margin_divisor) —
+        #      extreme-tail draws sample zeros beyond it where the
+        #      reference would sample reflected pixels.
+        from gagan_tpu.train.warp import affine_warp
+
+        sx = min(width // cfg.jit_margin_divisor, width - 1)
+        sy = min(height // cfg.jit_margin_divisor, height - 1)
+        images = jnp.pad(images, ((0, 0), (0, 0), (sy, sy), (sx, sx)),
+                         mode="reflect")
+        G_n = (scale2d(2 / images.shape[3], 2 / images.shape[2]) @ G_inv
+               @ scale2d_inv(2 / width, 2 / height))
+        images = affine_warp(images, G_n[:, :2, :], height, width,
+                             antialias=True)
+    elif geometric:
         Hz_geom = setup_filter(_HZ_GEOM_TAPS)
         cx = (width - 1) / 2
         cy = (height - 1) / 2
@@ -357,20 +384,8 @@ def augment_pipe(
         margin = jnp.clip(margin, 0, None)
         margin = jnp.minimum(margin, jnp.asarray(
             [width - 1, height - 1] * 2, jnp.float32))
-        # Padding must be static under jit (the reference's margin is
-        # data-dependent, augment.py:339-350).  Eagerly we use the exact
-        # margin; when traced we use a bounded static margin
-        # (jit_margin_divisor): draws whose transformed corners exceed it
-        # sample zeros where the reference would sample reflected pixels —
-        # a rare-tail-only deviation (the reference itself clamps at
-        # width-1, and typical geometric draws stay well inside width//4).
-        if isinstance(margin, jax.core.Tracer):
-            sx = min(Hz_pad * 2 + width // cfg.jit_margin_divisor, width - 1)
-            sy = min(Hz_pad * 2 + height // cfg.jit_margin_divisor, height - 1)
-            mx0, my0, mx1, my1 = sx, sy, sx, sy
-        else:
-            mx0, my0, mx1, my1 = [int(v) for v in np.ceil(np.asarray(
-                jax.lax.stop_gradient(margin)))]
+        mx0, my0, mx1, my1 = [int(v) for v in np.ceil(np.asarray(
+            jax.lax.stop_gradient(margin)))]
         images = jnp.pad(images, ((0, 0), (0, 0), (my0, my1), (mx0, mx1)),
                          mode="reflect")
         G_inv = translate2d((mx0 - mx1) / 2, (my0 - my1) / 2) @ G_inv
@@ -383,16 +398,7 @@ def augment_pipe(
         out_w = (width + Hz_pad * 2) * 2
         G_inv = (scale2d(2 / images.shape[3], 2 / images.shape[2]) @ G_inv
                  @ scale2d_inv(2 / out_w, 2 / out_h))
-        if isinstance(images, jax.core.Tracer):
-            # jit path: gather-free separable warp (gagan_tpu.train.warp) —
-            # XLA's per-pixel gather runs on the TPU scalar core (~650 ms per
-            # call); the dense reformulation is ~20x faster with a slightly
-            # softer (triangle*lerp) interpolation kernel.
-            from gagan_tpu.train.warp import affine_warp
-
-            images = affine_warp(images, G_inv[:, :2, :], out_h, out_w)
-        else:
-            images = affine_grid_sample(images, G_inv[:, :2, :], out_h, out_w)
+        images = affine_grid_sample(images, G_inv[:, :2, :], out_h, out_w)
         images = downsample2d(images, Hz_geom, down=2, padding=-Hz_pad * 2,
                               flip_filter=True)
 

@@ -113,16 +113,27 @@ def _two_hot_shift(x: jax.Array, shift: jax.Array, out_w: int,
 
 
 def _scale_matmul(x: jax.Array, scale: jax.Array, offset: jax.Array,
-                  out_w: int) -> jax.Array:
+                  out_w: int, antialias: bool = False) -> jax.Array:
     """Per-sample triangle-kernel resampling y[w'] = sum_w x[w] tri(s*w'+o-w).
 
     x: [N, C, H, W]; scale, offset: [N].  Dense banded matmul on the MXU.
-    """
+
+    With ``antialias`` the triangle half-width grows to max(1, |scale|)
+    (area-weighted minification filter, torch antialias=True style) and the
+    rows are renormalized to a partition of unity — this subsumes the
+    reference's upsample-2x / FIR-downsample antialiasing pyramid
+    (augment.py:352-370) at native resolution."""
     n, c, h, w_in = x.shape
     wp = jax.lax.broadcasted_iota(jnp.float32, (n, w_in, out_w), 2)
     wi = jax.lax.broadcasted_iota(jnp.float32, (n, w_in, out_w), 1)
     u = scale[:, None, None] * wp + offset[:, None, None]
-    b = jnp.maximum(0.0, 1.0 - jnp.abs(u - wi)).astype(x.dtype)
+    if antialias:
+        width = jnp.maximum(1.0, jnp.abs(scale))[:, None, None]
+        b = jnp.maximum(0.0, 1.0 - jnp.abs(u - wi) / width)
+        b = b / jnp.maximum(jnp.sum(b, axis=1, keepdims=True), 1e-8)
+        b = b.astype(x.dtype)
+    else:
+        b = jnp.maximum(0.0, 1.0 - jnp.abs(u - wi)).astype(x.dtype)
     return jnp.einsum("nchw,nwv->nchv", x, b)
 
 
@@ -145,7 +156,7 @@ def _pixel_affine_from_theta(theta: jax.Array, in_h: int, in_w: int,
 
 
 def _warp_yx(x: jax.Array, coef_x, coef_y, out_h: int, out_w: int,
-             eps: float = 1e-3) -> jax.Array:
+             eps: float = 1e-3, antialias: bool = False) -> jax.Array:
     """2-pass warp: vertical resample then horizontal.
 
     ix = s*w' + t*h' + m;  iy = (p)*h' + q*ix + r with q = ayx/axx.
@@ -168,16 +179,18 @@ def _warp_yx(x: jax.Array, coef_x, coef_y, out_h: int, out_w: int,
         extreme-tail draws only); the scale window covers |scale| <= ~2.
         """
         d = data.shape[-1]
-        window = 2 * out_dim + 4          # in-window span: covers |scale|<=2
+        slack = 3 if antialias else 1     # AA kernel reaches +-|scale| taps
+        window = 2 * out_dim + 4 + 2 * slack  # span: covers |scale|<=2
         max_shift = d                     # static shift coverage
         pad_low = max_shift + 1           # window origin k >= 0
         pad_high = pad_low + window + 4
         data = jnp.pad(data, ((0, 0), (0, 0), (0, 0), (pad_low, pad_high)))
-        # base absorbs negative scales so in-window positions start >= 1.
-        base = jnp.minimum(0.0, scale * (out_dim - 1)) - 1.0
+        # base absorbs negative scales so in-window positions start >= slack.
+        base = jnp.minimum(0.0, scale * (out_dim - 1)) - slack
         shifted = _two_hot_shift(data, shifts + base[:, None] + pad_low,
                                  window)
-        return _scale_matmul(shifted, scale, -base, out_dim)
+        return _scale_matmul(shifted, scale, -base, out_dim,
+                             antialias=antialias)
 
     # ---- Pass 1 (vertical): I1[h', w] = x[p*h' + q*w + r, w] ----
     xt = jnp.swapaxes(x, 2, 3)                     # [N, C, W, H]
@@ -193,15 +206,18 @@ def _warp_yx(x: jax.Array, coef_x, coef_y, out_h: int, out_w: int,
 
 
 def affine_warp(images: jax.Array, theta: jax.Array, out_h: int,
-                out_w: int) -> jax.Array:
+                out_w: int, antialias: bool = False) -> jax.Array:
     """Gather-free replacement for affine_grid_sample (same signature).
 
     Computes the normal and transposed 2-pass variants and selects per
-    sample by which diagonal dominates (rotation quadrant).
+    sample by which diagonal dominates (rotation quadrant).  With
+    ``antialias`` each 1D pass uses a scale-aware triangle kernel, making
+    the oversample/FIR pyramid of the reference pipeline unnecessary.
     """
     n, c, in_h, in_w = images.shape
     coef_x, coef_y = _pixel_affine_from_theta(theta, in_h, in_w, out_h, out_w)
-    out_a = _warp_yx(images, coef_x, coef_y, out_h, out_w)
+    out_a = _warp_yx(images, coef_x, coef_y, out_h, out_w,
+                     antialias=antialias)
 
     # Transposed variant: sample x^T, so the roles of ix/iy swap while the
     # output grid stays put — near-90-degree rotations make the off-diagonal
@@ -209,7 +225,8 @@ def affine_warp(images: jax.Array, theta: jax.Array, out_h: int,
     images_t = jnp.swapaxes(images, 2, 3)
     (axx, axy, ax0) = coef_x
     (ayx, ayy, ay0) = coef_y
-    out_b = _warp_yx(images_t, coef_y, coef_x, out_h, out_w)
+    out_b = _warp_yx(images_t, coef_y, coef_x, out_h, out_w,
+                     antialias=antialias)
 
     use_a = (jnp.abs(axx * ayy) >= jnp.abs(axy * ayx))[:, None, None, None]
     return jnp.where(use_a, out_a, out_b)

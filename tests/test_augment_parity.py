@@ -92,3 +92,22 @@ def test_augment_jits_inside_step():
     out = fn(img, jnp.float32(0.3), jax.random.PRNGKey(1))
     assert out.shape == img.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.parametrize("q", [0.35, 0.5, 0.65])
+def test_jit_fast_path_close_to_eager(q):
+    # The jit path replaces the upsample-2x FIR pyramid + bilinear gather
+    # with a native-resolution scale-aware triangle resampler
+    # (train/warp.py).  Interior outputs must stay close to the exact
+    # eager path for typical draws.
+    cfg = aug.make_config("bgc")
+    rng = np.random.RandomState(0)
+    base = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    img = jax.image.resize(base, (2, 3, 128, 128), "cubic")
+    p = jnp.float32(0.8)
+    key = jax.random.PRNGKey(1)
+    want = np.asarray(aug.augment_pipe(cfg, img, p, key, debug_percentile=q))
+    got = np.asarray(jax.jit(
+        lambda im: aug.augment_pipe(cfg, im, p, key, debug_percentile=q))(img))
+    err = np.abs(want - got)[:, :, 16:-16, 16:-16]
+    assert err.mean() < 0.04, (q, err.mean())
