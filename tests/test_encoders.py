@@ -74,3 +74,65 @@ def test_wrapper_latent_avg(ref_pair):
     ws = enc.encode_image_to_wplus(cfg, params, x, latent_avg=avg)
     ws0 = enc.encode_image_to_wplus(cfg, params, x)
     np.testing.assert_allclose(np.asarray(ws - ws0), 1.0, rtol=1e-4)
+
+
+def test_e4e_latent_discriminator_parity():
+    # Oracle: reference e4e_modules/discriminator.py (plain torch MLP).
+    import importlib.util
+
+    import torch
+
+    from gagan_tpu.inversion import e4e_training as e4e
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_e4e_disc",
+        "/root/reference/SimilarDomains/restyle_encoders/e4e_modules/"
+        "discriminator.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    torch.manual_seed(0)
+    net = ref.LatentCodesDiscriminator(style_dim=512, n_mlp=4).eval()
+    params = {}
+    for name, tensor in net.state_dict().items():
+        layer = ".".join(name.split(".")[:2])
+        params.setdefault(layer, {})[name.split(".")[-1]] = jnp.asarray(
+            tensor.numpy())
+    w = np.random.RandomState(1).randn(3, 512).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(w)).numpy()
+    got = np.asarray(e4e.latent_discriminator_apply(params, jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # Losses are finite and R1 is zero for a constant discriminator.
+    real = jnp.asarray(w)
+    fake = jnp.asarray(w + 1.0)
+    rp = e4e.latent_discriminator_apply(params, real)
+    fp = e4e.latent_discriminator_apply(params, fake)
+    assert np.isfinite(float(e4e.d_logistic_loss(rp, fp)))
+    assert np.isfinite(float(e4e.g_nonsaturating_loss(fp)))
+    assert float(e4e.d_r1_loss(params, real)) > 0
+
+
+def test_e4e_latent_pool():
+    from gagan_tpu.inversion.e4e_training import LatentCodesPool
+
+    pool = LatentCodesPool(pool_size=4, seed=0)
+    rng = np.random.RandomState(2)
+    first = rng.randn(4, 512).astype(np.float32)
+    out = pool.query(first)
+    np.testing.assert_array_equal(out, first)  # fills the buffer verbatim
+    # Subsequent queries mix current and replayed codes.
+    second = rng.randn(8, 512).astype(np.float32)
+    out2 = pool.query(second)
+    assert out2.shape == (8, 512)
+    replayed = sum(
+        1 for i in range(8)
+        if not any(np.array_equal(out2[i], second[j]) for j in range(8)))
+    assert replayed > 0
+    # W+ input: one random layer picked per sample.
+    wplus = rng.randn(2, 18, 512).astype(np.float32)
+    out3 = pool.query(wplus)
+    assert out3.shape == (2, 512)
+    # pool_size=0 passes through.
+    assert LatentCodesPool(0).query(second).shape == second.shape
