@@ -13,6 +13,23 @@ from gagan_tpu.metrics import fid as fid_lib
 from gagan_tpu.metrics import kid as kid_lib
 
 
+def extract_features(images, feature_fn: Optional[Callable] = None,
+                     batch_size: int = 32) -> np.ndarray:
+    """Batched backbone features of [N, C, H, W] images in [-1, 1]
+    (reference GA/feature_extraction.py:6-14, which uses torchvision
+    Swin-T `.features`).  Defaults to the Swin-T backbone
+    (`gagan_tpu.models.swin`); convert ImageNet weights from HF
+    `microsoft/swin-tiny-patch4-window7-224` via swin.params_from_hf."""
+    if feature_fn is None:
+        from gagan_tpu.models import swin
+
+        feature_fn = swin.make_feature_extractor()
+    feats = []
+    for i in range(0, images.shape[0], batch_size):
+        feats.append(np.asarray(feature_fn(images[i:i + batch_size])))
+    return np.concatenate(feats, axis=0)
+
+
 def calculate_metrics(
     real_images: jnp.ndarray,        # [N, C, H, W] uint8 [0, 255]
     generated_images: jnp.ndarray,
