@@ -94,6 +94,11 @@ class SynthesisConfig:
     # reformulation of its convs on a 2x2-packed grid so the MXU sees 4x the
     # channels (gagan_tpu.ops.packed).  ~2-3x faster tail on TPU.
     packed_last_block: bool = False
+    # How many trailing blocks run packed when packed_last_block is set.
+    # With 2, the feature map crosses the block boundary still packed
+    # (build_packed_upconv_packed) — worthwhile at 1024 where the 512
+    # block has only 64 channels.
+    packed_tail_blocks: int = 1
     # Rematerialize each synthesis block in the backward pass
     # (jax.checkpoint): trades recompute for activation memory — needed for
     # 1024-square training on a single 16 GB chip.
@@ -551,9 +556,13 @@ def torgb_layer_apply(
     return bias_act(x, lp["bias"].astype(x.dtype), clamp=cfg.conv_clamp)
 
 
-def _packed_last_block(cfg, block, x, img, block_ws, noise_mode, rng, hooks,
-                       res, dtype):
-    """Last synthesis block on the 2x2-packed grid (exact; ops/packed.py)."""
+def _packed_tail(cfg, params, x, img, tail, noise_mode, rng, hooks,
+                 force_fp32):
+    """Trailing synthesis blocks on the 2x2-packed grid (exact;
+    ops/packed.py).  ``tail`` is a list of (res, block_ws); the feature map
+    enters unpacked, gets packed by the first block's composed up-conv, and
+    crosses subsequent block boundaries still packed
+    (build_packed_upconv_packed)."""
     from gagan_tpu.ops import packed as pk
 
     taps = jnp.asarray(cfg.resample_filter, jnp.float32)
@@ -572,7 +581,7 @@ def _packed_last_block(cfg, block, x, img, block_ws, noise_mode, rng, hooks,
         return jax.lax.rsqrt(
             jnp.einsum("ni,oi->no", jnp.square(s32), wsq) + 1e-8)
 
-    def packed_noise(lp, name, out_ch):
+    def packed_noise(lp, name, res):
         if not cfg.use_noise or noise_mode == "none":
             return None
         if noise_mode == "const":
@@ -580,70 +589,89 @@ def _packed_last_block(cfg, block, x, img, block_ws, noise_mode, rng, hooks,
         else:
             nz = jax.random.normal(lrng(name), (batch, 1, res, res),
                                    dtype=jnp.float32) * lp["noise_strength"]
-        nz_p = pk.pack(nz)                                # [., 4, res/2, res/2]
-        return jnp.repeat(nz_p, out_ch, axis=1)           # cell-major tile
+        return pk.pack(nz)                               # [., 4, res/2, res/2]
 
-    def act(lp, y, out_ch):
+    def add_noise_act(lp, h, name, res, out_ch):
+        nz = packed_noise(lp, name, res)
+        if nz is not None:
+            h = h + jnp.repeat(nz, out_ch, axis=1).astype(h.dtype)
         bias = pk.pack_channel_tile(lp["bias"])
-        return bias_act(y, bias.astype(y.dtype), act=cfg.activation,
+        return bias_act(h, bias.astype(h.dtype), act=cfg.activation,
                         gain=spec.def_gain, clamp=cfg.conv_clamp)
 
-    # conv0: unpacked input -> packed output via the composed up-conv kernel.
-    lp = block["conv0"]
-    name0 = f"b{res}.conv0"
-    styles = _layer_styles(cfg, lp, block_ws[0], 1.0, name0, hooks)
-    weight = _layer_weight(lp, name0, hooks)
-    out_ch = weight.shape[0]
-    d = demod_coefs(weight, styles)
-    wp = pk.build_packed_upconv(weight, taps)
-    h = x * styles.astype(x.dtype)[:, :, None, None]
-    h = pk.conv_packed(h, wp.astype(dtype))
-    h = h * pk.pack_channel_tile(d).astype(h.dtype)[:, :, None, None]
-    nz = packed_noise(lp, name0, out_ch)
-    if nz is not None:
-        h = h + nz.astype(h.dtype)
-    h = act(lp, h, out_ch)
+    packed = False
+    for bi, (res, block_ws) in enumerate(tail):
+        block = params[f"b{res}"]
+        dtype = (jnp.bfloat16
+                 if res >= cfg.bf16_resolution and not force_fp32
+                 else jnp.float32)
+        x = x.astype(dtype)
 
-    # conv1: packed -> packed.
-    lp = block["conv1"]
-    name1 = f"b{res}.conv1"
-    styles = _layer_styles(cfg, lp, block_ws[1], 1.0, name1, hooks)
-    weight = _layer_weight(lp, name1, hooks)
-    out_ch = weight.shape[0]
-    d = demod_coefs(weight, styles)
-    wp = pk.build_packed_conv3x3(weight)
-    h = h * pk.pack_channel_tile(styles).astype(h.dtype)[:, :, None, None]
-    h = pk.conv_packed(h, wp.astype(dtype))
-    h = h * pk.pack_channel_tile(d).astype(h.dtype)[:, :, None, None]
-    nz = packed_noise(lp, name1, out_ch)
-    if nz is not None:
-        h = h + nz.astype(h.dtype)
-    h = act(lp, h, out_ch)
+        # conv0 (up=2): unpacked input -> packed output via the composed
+        # up-conv kernel.  Between tail blocks the feature map is unpacked
+        # first (pure reshape/transpose): the stay-packed crossing kernel
+        # (build_packed_upconv_packed) is exact but carries 4x structural
+        # zeros in its dense [16O, 4I, 3, 3] form, which costs more than
+        # the relayout saves.
+        if packed:
+            x = pk.unpack(x)
+        lp = block["conv0"]
+        name0 = f"b{res}.conv0"
+        styles = _layer_styles(cfg, lp, block_ws[0], 1.0, name0, hooks)
+        weight = _layer_weight(lp, name0, hooks)
+        out_ch = weight.shape[0]
+        d = demod_coefs(weight, styles)
+        wp = pk.build_packed_upconv(weight, taps)
+        h = x * styles.astype(x.dtype)[:, :, None, None]
+        h = pk.conv_packed(h, wp.astype(dtype))
+        h = h * pk.pack_channel_tile(d).astype(h.dtype)[:, :, None, None]
+        h = add_noise_act(lp, h, name0, res, out_ch)
+        packed = True
 
-    # torgb: packed 1x1 (block-diagonal over cells), no demod.
-    lp = block["torgb"]
-    name2 = f"b{res}.torgb"
-    in_ch = lp["weight"].shape[1]
-    weight_gain = 1.0 / np.sqrt(in_ch)
-    styles = _layer_styles(cfg, lp, block_ws[2], weight_gain, name2, hooks)
-    weight = _layer_weight(lp, name2, hooks)
-    img_ch = weight.shape[0]
-    wrgb = jnp.zeros((4 * img_ch, 4 * in_ch, 1, 1), dtype=weight.dtype)
-    for cell in range(4):
-        wrgb = wrgb.at[cell * img_ch:(cell + 1) * img_ch,
-                       cell * in_ch:(cell + 1) * in_ch].set(weight)
-    y = h * pk.pack_channel_tile(styles).astype(h.dtype)[:, :, None, None]
-    y = pk.conv_packed(y, wrgb.astype(dtype))
-    y = bias_act(y, pk.pack_channel_tile(lp["bias"]).astype(y.dtype),
-                 clamp=cfg.conv_clamp)
-    y = y.astype(jnp.float32)
+        # conv1: packed -> packed.
+        lp = block["conv1"]
+        name1 = f"b{res}.conv1"
+        styles = _layer_styles(cfg, lp, block_ws[1], 1.0, name1, hooks)
+        weight = _layer_weight(lp, name1, hooks)
+        out_ch = weight.shape[0]
+        d = demod_coefs(weight, styles)
+        wp = pk.build_packed_conv3x3(weight)
+        h = h * pk.pack_channel_tile(styles).astype(h.dtype)[:, :, None, None]
+        h = pk.conv_packed(h, wp.astype(dtype))
+        h = h * pk.pack_channel_tile(d).astype(h.dtype)[:, :, None, None]
+        h = add_noise_act(lp, h, name1, res, out_ch)
 
-    # skip-img upsample directly into the packed layout.
-    if img is not None:
-        img = pk.fir_upsample_packed(img, taps)
-        img = img + y
-    else:
-        img = y
+        # torgb: packed 1x1 (block-diagonal over cells), no demod.
+        lp = block["torgb"]
+        name2 = f"b{res}.torgb"
+        in_ch = lp["weight"].shape[1]
+        weight_gain = 1.0 / np.sqrt(in_ch)
+        styles = _layer_styles(cfg, lp, block_ws[2], weight_gain, name2,
+                               hooks)
+        weight = _layer_weight(lp, name2, hooks)
+        img_ch = weight.shape[0]
+        wrgb = jnp.zeros((4 * img_ch, 4 * in_ch, 1, 1), dtype=weight.dtype)
+        for cell in range(4):
+            wrgb = wrgb.at[cell * img_ch:(cell + 1) * img_ch,
+                           cell * in_ch:(cell + 1) * in_ch].set(weight)
+        y = h * pk.pack_channel_tile(styles).astype(h.dtype)[:, :, None, None]
+        y = pk.conv_packed(y, wrgb.astype(dtype))
+        y = bias_act(y, pk.pack_channel_tile(lp["bias"]).astype(y.dtype),
+                     clamp=cfg.conv_clamp)
+        y = y.astype(jnp.float32)
+
+        # skip-img upsample directly into this block's packed layout.  Past
+        # the first tail block, img arrives packed at the previous block's
+        # layout — unpack (3 channels, cheap) before re-upsampling.
+        if img is not None:
+            if bi > 0:
+                img = pk.unpack(img)
+            img = pk.fir_upsample_packed(img, taps)
+            img = img + y
+        else:
+            img = y
+        x = h
+
     return pk.unpack(img)
 
 
@@ -664,6 +692,19 @@ def synthesis_apply(
     batch = ws.shape[0]
     ws = ws.astype(jnp.float32)
 
+    resolutions = cfg.block_resolutions
+    n_tail = 0
+    if cfg.packed_last_block and cfg.architecture == "skip":
+        # The packed tail may cover up to packed_tail_blocks trailing
+        # blocks (all res > 4; at least the 4x4 block stays unpacked).
+        n_tail = max(0, min(cfg.packed_tail_blocks, len(resolutions) - 1))
+        tail_res = resolutions[-n_tail:] if n_tail else []
+        if any(r <= 4 for r in tail_res) or (hooks and any(
+                "post" in hooks.get(f"b{r}.{l}", {})
+                for r in tail_res for l in ("conv0", "conv1", "torgb"))):
+            n_tail = 0
+    tail_start = resolutions[-n_tail] if n_tail else None
+
     x = None
     img = None
     w_idx = 0
@@ -678,20 +719,20 @@ def synthesis_apply(
         def lrng(name):
             return jax.random.fold_in(rng, hash(name) % (2 ** 31)) if rng is not None else None
 
-        if (cfg.packed_last_block and res == cfg.img_resolution and res > 4
-                and cfg.architecture == "skip"
-                and not (hooks and any(
-                    "post" in hooks.get(f"b{res}.{l}", {})
-                    for l in ("conv0", "conv1", "torgb")))):
+        if tail_start is not None and res == tail_start:
+            tail = [(res, block_ws)]
+            for r2 in resolutions[resolutions.index(res) + 1:]:
+                tail.append((r2, [ws[:, w_idx + i] for i in range(3)]))
+                w_idx += 2
             if cfg.remat and hooks is None:
+                tail_res = tuple(t[0] for t in tail)   # static, closed over
                 packed_fn = jax.checkpoint(
-                    lambda block, x, img, block_ws, rng: _packed_last_block(
-                        cfg, block, x, img, block_ws, noise_mode, rng, None,
-                        res, dtype))
-                return packed_fn(block, x.astype(dtype), img, block_ws, rng)
-            return _packed_last_block(cfg, block, x.astype(dtype), img,
-                                      block_ws, noise_mode, rng, hooks, res,
-                                      dtype)
+                    lambda params, x, img, tail_ws, rng: _packed_tail(
+                        cfg, params, x, img, list(zip(tail_res, tail_ws)),
+                        noise_mode, rng, None, force_fp32))
+                return packed_fn(params, x, img, [t[1] for t in tail], rng)
+            return _packed_tail(cfg, params, x, img, tail, noise_mode, rng,
+                                hooks, force_fp32)
 
         def block_fn(block, x, img, block_ws, res=res, dtype=dtype,
                      num_conv=num_conv):

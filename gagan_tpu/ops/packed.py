@@ -265,3 +265,64 @@ def build_packed_conv1x1(w: jax.Array) -> jax.Array:
         wp = wp.at[cell * out_ch:(cell + 1) * out_ch,
                    cell * in_ch:(cell + 1) * in_ch].set(w)
     return wp
+
+
+def build_packed_upconv_packed(w: jax.Array, f: jax.Array) -> jax.Array:
+    """Composed up-conv kernel whose INPUT is already packed.
+
+    Matches conv2d_resample(x, w, f, up=2, padding=1, flip_weight=False)
+    where x is the unpacked [N, I, H, W] input: with xp = pack(x)
+    ([N, 4I, H/2, W/2]),
+
+        repack_up(conv(xp, Wp, pad 1)) == pack(conv2d_resample(...))
+
+    Wp: [16*O, 4*I, 3, 3].  Output channel layout (axis-major):
+    [fine cell (i, j) within the packed output grid][coarse parity (r, s)
+    on the input grid][O] — ``repack_up`` folds (r, s) into resolution.
+
+    Derivation: build_packed_upconv gives y[2h+i] = sum_d Gi[d] x[h+d]
+    (h on the input-resolution grid).  Writing h = 2g + r and
+    x[h+d] = xp[(r+d) mod 2][g + (r+d - (r+d) mod 2) / 2] turns each d
+    into one (input cell, coarse offset) tap; offsets stay in {-1, 0, 1}.
+    """
+    assert f.ndim == 1 and f.shape[0] == 4, "4-tap separable FIR expected"
+    out_ch, in_ch = w.shape[0], w.shape[1]
+    f_flip = jnp.flip(f) * 2.0
+    w_flip = jnp.flip(w, axis=(2, 3))
+    g = _kernel_conv2d(w_flip, jnp.outer(f_flip, f_flip))   # [O, I, 6, 6]
+
+    wp = jnp.zeros((16 * out_ch, 4 * in_ch, 3, 3), dtype=w.dtype)
+    for i in range(2):
+        for j in range(2):
+            for r in range(2):
+                for s in range(2):
+                    oc = ((i * 2 + j) * 4 + (r * 2 + s)) * out_ch
+                    for dy in (-1, 0, 1):
+                        cy = 2 * dy + 3 - i
+                        if not 0 <= cy < 6:
+                            continue
+                        py = (r + dy) % 2
+                        oy = (r + dy - py) // 2
+                        for dx in (-1, 0, 1):
+                            cx = 2 * dx + 3 - j
+                            if not 0 <= cx < 6:
+                                continue
+                            px = (s + dx) % 2
+                            ox = (s + dx - px) // 2
+                            wp = wp.at[
+                                oc:oc + out_ch,
+                                (py * 2 + px) * in_ch:
+                                (py * 2 + px + 1) * in_ch,
+                                oy + 1, ox + 1,
+                            ].set(g[:, :, cy, cx])
+    return wp
+
+
+def repack_up(y: jax.Array) -> jax.Array:
+    """[N, 16C, G, G] (cell-major then parity-major, see
+    build_packed_upconv_packed) -> [N, 4C, 2G, 2G] packed layout."""
+    n, c16, gh, gw = y.shape
+    c = c16 // 16
+    y = y.reshape(n, 4, 2, 2, c, gh, gw)        # [N, cell, r, s, C, G, G]
+    y = y.transpose(0, 1, 4, 5, 2, 6, 3)        # [N, cell, C, G, r, G, s]
+    return y.reshape(n, 4 * c, 2 * gh, 2 * gw)

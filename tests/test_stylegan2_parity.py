@@ -259,3 +259,44 @@ def test_remat_matches_plain():
     b = g2["synthesis"]["b8"]["conv0"]["weight"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_packed_two_block_tail_parity():
+    # packed_tail_blocks=2: the feature map crosses the block boundary still
+    # packed (ops/packed.py build_packed_upconv_packed); must be numerically
+    # identical to the plain path, with gradients flowing.
+    import dataclasses
+
+    cfg = g_cfg(res=64, cbase=2048, cmax=128)
+    params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    base = sg2.generator_apply(cfg, params, z, noise_mode="const")
+    cfg_p = dataclasses.replace(cfg, synthesis=dataclasses.replace(
+        cfg.synthesis, packed_last_block=True, packed_tail_blocks=2))
+    packed = sg2.generator_apply(cfg_p, params, z, noise_mode="const")
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
+
+    # random-noise path parity (noise is drawn identically per layer name)
+    rng = jax.random.PRNGKey(7)
+    base_n = sg2.generator_apply(cfg, params, z, noise_mode="random", rng=rng)
+    packed_n = sg2.generator_apply(cfg_p, params, z, noise_mode="random",
+                                   rng=rng)
+    np.testing.assert_allclose(np.asarray(packed_n), np.asarray(base_n),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p):
+        return jnp.mean(jnp.square(sg2.generator_apply(cfg_p, p, z)))
+
+    g = jax.grad(loss)(params)
+    for layer in ("b32.conv0", "b64.conv0"):
+        res, name = layer.split(".")
+        w_grad = g["synthesis"][res][name]["weight"]
+        assert float(jnp.linalg.norm(w_grad)) > 0
+
+    # remat variant compiles and matches.
+    cfg_r = dataclasses.replace(cfg_p, synthesis=dataclasses.replace(
+        cfg_p.synthesis, remat=True))
+    rem = sg2.generator_apply(cfg_r, params, z, noise_mode="const")
+    np.testing.assert_allclose(np.asarray(rem), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
