@@ -60,3 +60,30 @@ def shard_train_step(step_fn, mesh: Mesh, donate_state: bool = True):
     gradient all-reduce where the loss mean crosses the batch axis.
     """
     return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+
+
+def check_replica_consistency(tree: Any, name: str = "params") -> None:
+    """Verify that replicated arrays hold identical values on every
+    addressable device — the analogue of the reference's pre-snapshot
+    `misc.check_ddp_consistency` parameter-hash agreement across DDP ranks
+    (torch_utils/misc.py:191-203).  Under jit'd SPMD divergence cannot
+    arise inside a step; this guards host-side state edits and restores.
+
+    Leaves that are genuinely sharded (shard shape != full shape) are
+    skipped.  Raises AssertionError naming the first divergent leaf.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in flat:
+        if not isinstance(leaf, jax.Array) or not leaf.addressable_shards:
+            continue
+        shards = leaf.addressable_shards
+        if shards[0].data.shape != leaf.shape:
+            continue  # sharded, not replicated
+        ref = np.asarray(shards[0].data)
+        for shard in shards[1:]:
+            if not np.array_equal(np.asarray(shard.data), ref,
+                                  equal_nan=True):
+                leaf_name = ".".join(str(getattr(k, "key", k)) for k in path)
+                raise AssertionError(
+                    f"replica mismatch in {name}.{leaf_name} between devices "
+                    f"{shards[0].device} and {shard.device}")

@@ -47,6 +47,9 @@ class LoopConfig:
     metrics_fn: Optional[Callable] = None  # called with (g_ema_params, g_cfg)
     abort_fn: Optional[Callable[[], bool]] = None
     progress_fn: Optional[Callable[[int, int], None]] = None
+    # Per-parameter TensorBoard histograms each tick (reference
+    # training_loop.py:640-649 logs them unconditionally when TB is up).
+    log_param_histograms: bool = True
 
 
 def save_image_grid(img: np.ndarray, fname: str, drange, grid_size):
@@ -243,6 +246,9 @@ def training_loop(
             "Timing/sec_per_kimg": sec_per_kimg,
             "Timing/total_sec": tick_end_time - start_time,
         })
+        if loop_cfg.log_param_histograms:
+            logger.log_histograms({"G": state.g_params, "D": state.d_params},
+                                  step=cur_nimg)
         collector.reset()
 
         if loop_cfg.abort_fn is not None and loop_cfg.abort_fn():

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, Optional
+from typing import Any, Dict, Optional
 
 
 class Collector:
@@ -94,6 +94,26 @@ class StatsLogger:
             for name, v in stats.items():
                 self._tb.add_scalar(name, v["mean"], global_step=step)
             self._tb.flush()
+
+    def log_histograms(self, trees: Dict[str, Any], step: int) -> None:
+        """Per-parameter TensorBoard histograms, named
+        '<tree>/<dotted.path>' (reference training_stats log_histograms,
+        training_loop.py:47-53 + 640-649).  No-op without TensorBoard."""
+        if self._tb is None:
+            return
+        import jax
+        import numpy as np
+
+        for tree_name, tree in trees.items():
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for path, leaf in flat:
+                name = ".".join(str(getattr(k, "key", k)) for k in path)
+                try:
+                    self._tb.add_histogram(f"{tree_name}/{name}",
+                                           np.asarray(leaf), global_step=step)
+                except Exception:
+                    pass
+        self._tb.flush()
 
     def close(self):
         self._jsonl.close()

@@ -41,3 +41,24 @@ def test_summary_and_nan_guard():
     assert "Total" in s and "19" in s
     assert not obs.nan_guard(p)
     assert obs.nan_guard({"x": jnp.asarray([jnp.nan])})
+
+
+def test_stats_logger_histograms(tmp_path):
+    import jax.numpy as jnp
+
+    from gagan_tpu.utils.stats import Collector, StatsLogger
+
+    logger = StatsLogger(str(tmp_path), use_tensorboard=True)
+    tree = {"conv": {"weight": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    logger.log_histograms({"G": tree}, step=1)
+    c = Collector()
+    c.report("Loss/G/loss", 1.0)
+    logger.write(c, step=1)
+    logger.close()
+    import os
+
+    files = os.listdir(tmp_path)
+    assert "stats.jsonl" in files
+    if any(f.startswith("events.out") for f in files):  # TB available
+        assert sum(os.path.getsize(tmp_path / f) for f in files
+                   if f.startswith("events.out")) > 0

@@ -205,3 +205,27 @@ def test_ada_update_direction():
     p = ts.ada_update(cfg, 0.5, real_signs_mean=0.1)   # underfit -> p down
     assert p < 0.5
     assert ts.ada_update(cfg, 0.0, real_signs_mean=0.0) == 0.0  # clipped
+
+
+def test_check_replica_consistency():
+    import numpy as np
+
+    from gagan_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.create_mesh(8)
+    tree = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.zeros((4,))}
+    placed = mesh_lib.place_state(mesh, tree)
+    mesh_lib.check_replica_consistency(placed)  # replicated: passes
+
+    # Simulate divergence: same replicated sharding, one device differs.
+    devs = mesh.devices.reshape(-1)
+    arrs = [jax.device_put(np.full((4,), float(i == 3)), d)
+            for i, d in enumerate(devs)]
+    bad = jax.make_array_from_single_device_arrays(
+        (4,), mesh_lib.replicated(mesh), arrs)
+    with pytest.raises(AssertionError, match="replica mismatch"):
+        mesh_lib.check_replica_consistency({"b": bad})
+
+    # Sharded leaves are skipped (legitimately different per device).
+    batch = mesh_lib.shard_batch(mesh, jnp.arange(16.0).reshape(8, 2))
+    mesh_lib.check_replica_consistency({"x": batch})
