@@ -43,6 +43,16 @@ def trace_scope(name: str):
             yield
 
 
+@contextlib.contextmanager
+def profile_trace(log_dir: str):
+    """Capture a device profile viewable in TensorBoard's profile plugin
+    (`tensorboard --logdir <log_dir>`); trace_scope spans appear as named
+    regions.  The whole-program analogue of the reference's autograd
+    profiler sessions."""
+    with jax.profiler.trace(log_dir):
+        yield
+
+
 class PhaseTimer:
     """Per-phase wall timing with device sync (replaces CUDA events)."""
 
