@@ -136,7 +136,10 @@ def main(outdir, data, n_devices, cfg, kimg, batch, gamma, cond, mirror,
 
     augment_cfg = None
     if aug != "noaug":
-        augment_cfg = aug_lib.make_config(augpipe)
+        # bf16 pipe when the D's high-res blocks are bf16 anyway (the pipe
+        # is HBM-bound; see AugmentConfig.compute_dtype).
+        augment_cfg = aug_lib.make_config(
+            augpipe, compute_dtype="bfloat16" if res >= 256 else None)
 
     loop_cfg = loop_lib.LoopConfig(
         run_dir=outdir, total_kimg=spec["kimg"], random_seed=seed,

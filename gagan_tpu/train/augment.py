@@ -76,6 +76,13 @@ class AugmentConfig:
     # Static reflect-pad margin under jit: width // jit_margin_divisor
     # (+ filter support).  See the geometric-execution note below.
     jit_margin_divisor: int = 4
+    # Optional reduced-precision image dtype for the pipe ("bfloat16").
+    # The augmented images feed a discriminator whose high-res blocks run
+    # bf16 anyway (num_fp16_res), so quantizing here loses nothing the D
+    # would have seen — and the warp/color work is HBM-bandwidth-bound, so
+    # halving the bytes roughly halves its cost.  None (default) keeps the
+    # input dtype; parity tests rely on the default.
+    compute_dtype: Optional[str] = None
 
 
 # Preset table mirroring train.py augpipe_specs (train.py:357-370).
@@ -102,8 +109,8 @@ AUGPIPE_SPECS = {
 }
 
 
-def make_config(spec: str) -> AugmentConfig:
-    return AugmentConfig(**AUGPIPE_SPECS[spec])
+def make_config(spec: str, compute_dtype: Optional[str] = None) -> AugmentConfig:
+    return AugmentConfig(**AUGPIPE_SPECS[spec], compute_dtype=compute_dtype)
 
 
 # ----------------------------------------------------------------------------
@@ -259,6 +266,9 @@ def augment_pipe(
 ) -> jax.Array:
     """Apply the ADA pipe.  Pure function; gradients flow through images."""
     batch, channels, height, width = images.shape
+    in_dtype = images.dtype
+    if cfg.compute_dtype is not None:
+        images = images.astype(jnp.dtype(cfg.compute_dtype))
     p = jnp.asarray(p, dtype=jnp.float32)
     dp = (None if debug_percentile is None
           else jnp.asarray(debug_percentile, jnp.float32))
@@ -451,6 +461,7 @@ def augment_pipe(
         C = (vvt + (I4 - vvt) * s) @ C
 
     if colored:
+        C = C.astype(images.dtype)
         flat = images.reshape(batch, channels, height * width)
         if channels == 3:
             flat = C[:, :3, :3] @ flat + C[:, :3, 3:]
@@ -524,7 +535,7 @@ def augment_pipe(
         mask = jnp.logical_or(mask_x, mask_y).astype(images.dtype)
         images = images * mask
 
-    return images
+    return images.astype(in_dtype)
 
 
 def make_augment_fn(cfg: AugmentConfig):

@@ -223,17 +223,30 @@ def affine_warp(images: jax.Array, theta: jax.Array, out_h: int,
     """
     n, c, in_h, in_w = images.shape
     coef_x, coef_y = _pixel_affine_from_theta(theta, in_h, in_w, out_h, out_w)
-    out_a = _warp_yx(images, coef_x, coef_y, out_h, out_w,
-                     antialias=antialias)
-
-    # Transposed variant: sample x^T, so the roles of ix/iy swap while the
-    # output grid stays put — near-90-degree rotations make the off-diagonal
-    # coefficients dominant and this variant well-conditioned.
-    images_t = jnp.swapaxes(images, 2, 3)
     (axx, axy, ax0) = coef_x
     (ayx, ayy, ay0) = coef_y
+    use_a = jnp.abs(axx * ayy) >= jnp.abs(axy * ayx)
+
+    if in_h == in_w:
+        # Square input (the augment-pipe case): the transposed variant is
+        # the same warp applied to x^T with the coefficient roles swapped,
+        # so a per-sample select of (input orientation, coefficients) runs
+        # ONE warp instead of two — identical outputs at half the cost.
+        x_sel = jnp.where(use_a[:, None, None, None], images,
+                          jnp.swapaxes(images, 2, 3))
+
+        def sel(a, b):
+            return jnp.where(use_a, a, b)
+
+        coef1 = (sel(axx, ayx), sel(axy, ayy), sel(ax0, ay0))
+        coef2 = (sel(ayx, axx), sel(ayy, axy), sel(ay0, ax0))
+        return _warp_yx(x_sel, coef1, coef2, out_h, out_w,
+                        antialias=antialias)
+
+    # Rectangular input: compute both variants and select.
+    out_a = _warp_yx(images, coef_x, coef_y, out_h, out_w,
+                     antialias=antialias)
+    images_t = jnp.swapaxes(images, 2, 3)
     out_b = _warp_yx(images_t, coef_y, coef_x, out_h, out_w,
                      antialias=antialias)
-
-    use_a = (jnp.abs(axx * ayy) >= jnp.abs(axy * ayx))[:, None, None, None]
-    return jnp.where(use_a, out_a, out_b)
+    return jnp.where(use_a[:, None, None, None], out_a, out_b)

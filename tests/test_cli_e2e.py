@@ -212,3 +212,45 @@ def test_train_resume_from_snapshot(tiny_zip, trained_run, tmp_path):
     b = np.asarray(trees_new["G"]["synthesis"]["b4"]["conv1"]["weight"])
     assert not np.array_equal(a, b)
     assert np.abs(a - b).mean() < 0.1 * np.abs(a).mean() + 0.05
+
+def test_projector_cli(trained_run, tmp_path):
+    # Mirrors the reference projector.py run_projection driver: project a
+    # target image into w-space and replay the latents through generate
+    # --projected-w (DissimilarDomains/projector.py:196-331, generate.py:85).
+    import glob
+
+    from gagan_tpu.cli import generate as gen_cli
+    from gagan_tpu.cli import projector as proj_cli
+
+    snaps = sorted(glob.glob(os.path.join(trained_run, "**",
+                                          "network-snapshot-*.npz"),
+                             recursive=True))
+    assert snaps
+    target = str(tmp_path / "target.png")
+    rng = np.random.RandomState(7)
+    PIL.Image.fromarray(
+        rng.randint(0, 255, (20, 24, 3), dtype=np.uint8)).save(target)
+
+    outdir = str(tmp_path / "proj")
+    runner = CliRunner()
+    result = runner.invoke(proj_cli.main, [
+        "--network", snaps[-1], "--target", target, "--outdir", outdir,
+        "--space", "w", "--num-steps", "4", "--save-image",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert os.path.exists(os.path.join(outdir, "projected_w.npz"))
+    assert os.path.exists(os.path.join(outdir, "target_proj.png"))
+    # Center-cropped to the generator resolution.
+    assert np.array(PIL.Image.open(
+        os.path.join(outdir, "target_target.png"))).shape == (16, 16, 3)
+
+    ws = np.load(os.path.join(outdir, "projected_w.npz"))["w"]
+    assert ws.ndim == 3 and ws.shape[0] == 1
+
+    gen_out = str(tmp_path / "replay")
+    result = runner.invoke(gen_cli.main, [
+        "--network", snaps[-1], "--outdir", gen_out,
+        "--projected-w", os.path.join(outdir, "projected_w.npz"),
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert os.listdir(gen_out) == ["proj00.png"]

@@ -1,0 +1,123 @@
+"""Training-step throughput benchmark (sec/kimg) on the current backend.
+
+Measures the fused ADA training step (Gmain+Greg+Dmain+Dreg+EMA) at a given
+resolution/batch, with or without the ADA augmentation pipe — the setup the
+reference's inherited tables report (BASELINE.md: V100 1-GPU 256² = 21.6-24.2
+sec/kimg, 1024² = 154.3-161.6 sec/kimg with `--cfg=auto --aug=ada`).
+
+Usage:
+    python tools/bench_train.py --res 1024 --batch 4 --aug
+    python tools/bench_train.py --res 256 --batch 32 --steps 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
+          packed: bool):
+    from gagan_tpu.models import stylegan2 as sg2
+    from gagan_tpu.train import augment as aug_lib
+    from gagan_tpu.train import gan_loss, train_step as ts
+
+    g_cfg = sg2.GeneratorConfig(
+        img_resolution=res,
+        mapping=sg2.MappingConfig(num_layers=8),
+        synthesis=sg2.SynthesisConfig(
+            channel_base=int(fmaps * 32768), channel_max=512,
+            num_fp16_res=4, conv_clamp=256,
+            packed_last_block=packed and res >= 64,
+            remat=remat))
+    d_cfg = sg2.DiscriminatorConfig(
+        img_resolution=res, channel_base=int(fmaps * 32768), channel_max=512,
+        num_fp16_res=4, conv_clamp=256,
+        mbstd_group_size=min(batch, 4),
+        packed_first_block=packed and res >= 64, remat=remat)
+    cfg = ts.TrainConfig(
+        batch_size=batch,
+        loss=gan_loss.GANLossConfig(r1_gamma=0.0002 * res * res / batch),
+        ada_target=0.6 if aug else None)
+
+    augment_fn = None
+    if aug:
+        augment_fn = aug_lib.make_augment_fn(aug_lib.make_config(
+            "bgc", compute_dtype="bfloat16" if res >= 256 else None))
+
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+    state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+    # The three variants the training loop actually schedules per 16 batches
+    # (Greg every 4, Dreg every 16): 12x (no reg), 3x (+Greg), 1x (both).
+    steps = {}
+    for name, (do_g, do_d) in {"none": (False, False), "greg": (True, False),
+                               "both": (True, True)}.items():
+        steps[name] = jax.jit(
+            ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx,
+                               augment_fn=augment_fn,
+                               do_g_reg=do_g, do_d_reg=do_d),
+            donate_argnums=(0,))
+    return steps, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--aug", action="store_true")
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--fmaps", type=float, default=1.0)
+    ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--no-packed", action="store_true")
+    args = ap.parse_args()
+
+    steps, state = build(args.res, args.batch, args.aug, args.fmaps,
+                         remat=not args.no_remat, packed=not args.no_packed)
+
+    key = jax.random.PRNGKey(2)
+    real = jax.random.normal(jax.random.PRNGKey(3),
+                             (args.batch, 3, args.res, args.res))
+    z = jax.random.normal(jax.random.PRNGKey(4), (args.batch, 512))
+
+    per_step = {}
+    for name, step in steps.items():
+        t0 = time.perf_counter()
+        state, metrics = step(state, real, None, z, None, key)
+        # Force device->host sync (axon tunnel: block_until_ready alone can
+        # return early; fetch a scalar instead).
+        float(metrics["Loss/G/loss"])
+        print(f"[{name}] compile+first step: "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+        times = []
+        for _ in range(args.steps):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            state, metrics = step(state, real, None, z, None, sub)
+            float(metrics["Loss/G/loss"])
+            times.append(time.perf_counter() - t0)
+        times = sorted(times)[: max(1, len(times) - 1)]  # drop slowest
+        per_step[name] = sum(times) / len(times)
+        print(f"[{name}] sec/step: {per_step[name]:.3f}", flush=True)
+
+    # Amortized over the loop's 16-batch schedule.
+    amortized = (12 * per_step["none"] + 3 * per_step["greg"]
+                 + 1 * per_step["both"]) / 16
+    sec_per_kimg = amortized * 1000.0 / args.batch
+    print(f"res={args.res} batch={args.batch} aug={args.aug} "
+          f"fmaps={args.fmaps}")
+    print(f"amortized sec/step: {amortized:.3f}   sec/kimg: "
+          f"{sec_per_kimg:.1f}   imgs/sec: {args.batch / amortized:.1f}")
+
+
+if __name__ == "__main__":
+    main()
