@@ -45,6 +45,10 @@ CFG_SPECS = {
               show_default=True)
 @click.option("--kimg", type=int, default=None)
 @click.option("--batch", type=int, default=None)
+@click.option("--batch-gpu", type=int, default=None,
+              help="Per-device samples held live at once; smaller than "
+                   "batch/devices turns on gradient accumulation "
+                   "(reference train.py:300-306 batch_gpu rounds)")
 @click.option("--gamma", type=float, default=None, help="R1 gamma override")
 @click.option("--cond", is_flag=True, help="Train conditional model")
 @click.option("--mirror", is_flag=True, help="Enable dataset x-flips")
@@ -71,7 +75,8 @@ CFG_SPECS = {
               help="Snapshot interval in ticks")
 @click.option("--seed", type=int, default=0, show_default=True)
 @click.option("--dry-run", is_flag=True)
-def main(outdir, data, n_devices, cfg, kimg, batch, gamma, cond, mirror,
+def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
+         mirror,
          subset, aug, aug_p, target, augpipe, resume, freezed, lrate, glrate,
          dlrate, use_domain_modulation, domain_modulation_parametrization,
          generator_requires_grad_parts, snap, seed, dry_run):
@@ -108,6 +113,17 @@ def main(outdir, data, n_devices, cfg, kimg, batch, gamma, cond, mirror,
     spec["glrate"] = glrate if glrate is not None else spec["lrate"]
     spec["dlrate"] = dlrate if dlrate is not None else spec["lrate"]
 
+    # batch_gpu < batch/devices => sequential gradient-accumulation rounds
+    # inside the jitted phase step (reference train.py:300-306).
+    accum_rounds = 1
+    if batch_gpu is not None:
+        device_batch = spec["mb"] // n_dev
+        if device_batch % batch_gpu:
+            raise click.ClickException(
+                f"--batch-gpu={batch_gpu} must divide the per-device batch "
+                f"{device_batch} (= batch {spec['mb']} / {n_dev} devices)")
+        accum_rounds = device_batch // batch_gpu
+
     g_parts = tuple(generator_requires_grad_parts.split(","))
 
     g_cfg = sg2.GeneratorConfig(
@@ -130,6 +146,7 @@ def main(outdir, data, n_devices, cfg, kimg, batch, gamma, cond, mirror,
         ema_kimg=spec["ema"], ema_rampup=spec["ramp"],
         ada_target=(target if aug == "ada" else None),
         batch_size=spec["mb"],
+        accum_rounds=accum_rounds,
         loss=gan_loss.GANLossConfig(r1_gamma=spec["gamma"]),
         g_requires_grad_parts=g_parts,
         freeze_d_layers=freezed)

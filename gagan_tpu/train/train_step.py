@@ -58,6 +58,14 @@ class TrainConfig:
     g_requires_grad_parts: Tuple[str, ...] = ("all",)
     d_requires_grad_parts: Tuple[str, ...] = ("all",)
     freeze_d_layers: int = 0
+    # Gradient accumulation: each phase splits its device batch into this
+    # many sequential rounds and averages the gradients — the reference's
+    # batch_size / batch_gpu rounds loop (training_loop.py:496-516).  The
+    # reg phases may use a higher round count (R1's double-backward holds
+    # ~4x the activations of a main phase); exact for all losses here since
+    # every loss/metric is a per-sample mean.
+    accum_rounds: int = 1
+    reg_accum_rounds: Optional[int] = None    # default: accum_rounds
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -100,6 +108,27 @@ def _scrub(grads):
     """nan_to_num gradient scrub (training_loop.py:508-510)."""
     return jax.tree.map(
         lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads)
+
+
+def _chunk(x, rounds: int, r: int):
+    if x is None or rounds <= 1:
+        return x
+    n = x.shape[0] // rounds
+    return x[r * n:(r + 1) * n]
+
+
+def _accum(run_round, rounds: int, key):
+    """Average the ((loss, metrics), grads) output of ``run_round(r, key_r)``
+    over ``rounds`` sequential chunks (reference rounds loop,
+    training_loop.py:496-516).  Exact for per-sample-mean losses; with
+    rounds == 1 the caller's key passes through untouched."""
+    if rounds <= 1:
+        return run_round(0, key)
+    acc = None
+    for r in range(rounds):
+        out = run_round(r, jax.random.fold_in(key, r))
+        acc = out if acc is None else jax.tree.map(jnp.add, acc, out)
+    return jax.tree.map(lambda x: x / rounds, acc)
 
 
 def build_optimizers(cfg: TrainConfig, g_params: Params, d_params: Params):
@@ -178,16 +207,22 @@ def make_phase_steps(
         def make_hooks(offsets):
             return None
 
-    def g_main_step(state: TrainState, z, c, key):
-        def loss_fn(g_params, offsets):
-            return gan_loss.g_main_loss(
-                lcfg, g_cfg, d_cfg, g_params, state.d_params, z, c, key,
-                augment_fn=augment_fn, ada_p=state.ada_p,
-                hooks=make_hooks(offsets))
+    main_rounds = max(cfg.accum_rounds, 1)
+    reg_rounds = max(cfg.reg_accum_rounds or cfg.accum_rounds, 1)
 
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(state.g_params,
-                                                   state.offsets)
+    def g_main_step(state: TrainState, z, c, key):
+        def run_round(r, k):
+            def loss_fn(g_params, offsets):
+                return gan_loss.g_main_loss(
+                    lcfg, g_cfg, d_cfg, g_params, state.d_params,
+                    _chunk(z, main_rounds, r), _chunk(c, main_rounds, r), k,
+                    augment_fn=augment_fn, ada_p=state.ada_p,
+                    hooks=make_hooks(offsets))
+
+            return jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.g_params, state.offsets)
+
+        (loss, metrics), grads = _accum(run_round, main_rounds, key)
         g_grads = _scrub(grads[0])
         updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                            state.g_params)
@@ -215,15 +250,18 @@ def make_phase_steps(
     def g_reg_step(state: TrainState, z, c, key):
         gain = float(cfg.g_reg_interval or 1)
 
-        def loss_fn(g_params, offsets):
-            loss, metrics = gan_loss.g_pl_loss(
-                lcfg, g_cfg, g_params, z, c, key, state.pl_mean,
-                hooks=make_hooks(offsets))
-            return loss * gain, metrics
+        def run_round(r, k):
+            def loss_fn(g_params, offsets):
+                loss, metrics = gan_loss.g_pl_loss(
+                    lcfg, g_cfg, g_params, _chunk(z, reg_rounds, r),
+                    _chunk(c, reg_rounds, r), k, state.pl_mean,
+                    hooks=make_hooks(offsets))
+                return loss * gain, metrics
 
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(state.g_params,
-                                                   state.offsets)
+            return jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.g_params, state.offsets)
+
+        (_, metrics), grads = _accum(run_round, reg_rounds, key)
         g_grads = _scrub(grads[0])
         updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                            state.g_params)
@@ -240,14 +278,19 @@ def make_phase_steps(
         return state.replace(pl_mean=pl_mean), metrics
 
     def d_main_step(state: TrainState, real_img, real_c, z, gen_c, key):
-        def loss_fn(d_params):
-            return gan_loss.d_main_loss(
-                lcfg, g_cfg, d_cfg, state.g_params, d_params, real_img, real_c,
-                z, gen_c, key, augment_fn=augment_fn, ada_p=state.ada_p,
-                hooks=make_hooks(state.offsets))
+        def run_round(r, k):
+            def loss_fn(d_params):
+                return gan_loss.d_main_loss(
+                    lcfg, g_cfg, d_cfg, state.g_params, d_params,
+                    _chunk(real_img, main_rounds, r),
+                    _chunk(real_c, main_rounds, r),
+                    _chunk(z, main_rounds, r), _chunk(gen_c, main_rounds, r),
+                    k, augment_fn=augment_fn, ada_p=state.ada_p,
+                    hooks=make_hooks(state.offsets))
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.d_params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+
+        (_, metrics), grads = _accum(run_round, main_rounds, key)
         grads = _scrub(grads)
         updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
                                            state.d_params)
@@ -257,14 +300,17 @@ def make_phase_steps(
     def d_reg_step(state: TrainState, real_img, real_c, key):
         gain = float(cfg.d_reg_interval or 1)
 
-        def loss_fn(d_params):
-            loss, metrics = gan_loss.d_r1_loss(
-                lcfg, d_cfg, d_params, real_img, real_c, key,
-                augment_fn=augment_fn, ada_p=state.ada_p)
-            return loss * gain, metrics
+        def run_round(r, k):
+            def loss_fn(d_params):
+                loss, metrics = gan_loss.d_r1_loss(
+                    lcfg, d_cfg, d_params, _chunk(real_img, reg_rounds, r),
+                    _chunk(real_c, reg_rounds, r), k,
+                    augment_fn=augment_fn, ada_p=state.ada_p)
+                return loss * gain, metrics
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.d_params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
+
+        (_, metrics), grads = _accum(run_round, reg_rounds, key)
         grads = _scrub(grads)
         updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
                                            state.d_params)

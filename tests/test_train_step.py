@@ -287,3 +287,59 @@ def test_spatial_hooks_compose_with_offsets():
     got = fn(mesh_lib.place_state(mesh, params), ws)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_accum_rounds_match_full_batch():
+    # Gradient accumulation (TrainConfig.accum_rounds; reference rounds loop
+    # training_loop.py:496-516) is exact for the noise-free phases: with
+    # style mixing off, no noise, no augmentation, and no minibatch-std
+    # (mbstd couples samples within a round, so chunked grouping differs by
+    # design — in the reference too, where mbstd runs per batch_gpu round),
+    # d_main grads over 2 rounds of 2 equal the full-batch-of-4 grads; the
+    # reg phases run and stay finite (per-round RNG differs by construction).
+    g_cfg = sg2.GeneratorConfig(
+        z_dim=32, w_dim=32, img_resolution=16, img_channels=3,
+        mapping=sg2.MappingConfig(num_layers=2),
+        synthesis=sg2.SynthesisConfig(channel_base=512, channel_max=32,
+                                      use_noise=False))
+    d_cfg = sg2.DiscriminatorConfig(
+        img_resolution=16, img_channels=3, channel_base=512, channel_max=32,
+        mbstd_group_size=None, mbstd_num_channels=0)
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+
+    lcfg = gan_loss.GANLossConfig(style_mixing_prob=0.0)
+    key = jax.random.PRNGKey(2)
+    real = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 16, 16))
+    z = jax.random.normal(jax.random.PRNGKey(4), (4, 32))
+
+    states, grads = [], []
+    for accum in (1, 2):
+        cfg = ts.TrainConfig(batch_size=4, accum_rounds=accum,
+                             loss=lcfg)
+        g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+        state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+        _, _, d_main, _ = ts.make_phase_steps(cfg, g_cfg, d_cfg, g_tx, d_tx)
+        new_state, metrics = jax.jit(d_main)(state, real, None, z, None, key)
+        states.append(new_state)
+        assert np.isfinite(float(metrics["Loss/D/loss"]))
+
+    # With use_noise off and mixing off, run_G is key-independent, so the
+    # chunked d_params update must match the full-batch one exactly-ish
+    # (fp reassociation of the chunk mean only).
+    flat1 = jax.tree_util.tree_leaves(states[0].d_params)
+    flat2 = jax.tree_util.tree_leaves(states[1].d_params)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+    # Reg phases run under accumulation (finiteness smoke).
+    cfg = ts.TrainConfig(batch_size=4, accum_rounds=1, reg_accum_rounds=2,
+                         loss=lcfg)
+    g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+    state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+    _, g_reg, _, d_reg = ts.make_phase_steps(cfg, g_cfg, d_cfg, g_tx, d_tx)
+    state, m1 = jax.jit(g_reg)(state, z, None, key)
+    state, m2 = jax.jit(d_reg)(state, real, None, key)
+    assert np.isfinite(float(m1["Loss/G/reg"]))
+    assert np.isfinite(float(m2["Loss/D/reg"]))

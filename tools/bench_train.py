@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 
 def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
-          packed: bool):
+          packed: bool, accum: int = 1, reg_accum: int = 1):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -45,7 +45,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
     cfg = ts.TrainConfig(
         batch_size=batch,
         loss=gan_loss.GANLossConfig(r1_gamma=0.0002 * res * res / batch),
-        ada_target=0.6 if aug else None)
+        ada_target=0.6 if aug else None,
+        accum_rounds=accum, reg_accum_rounds=reg_accum)
 
     augment_fn = None
     if aug:
@@ -78,10 +79,14 @@ def main():
     ap.add_argument("--fmaps", type=float, default=1.0)
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--no-packed", action="store_true")
+    ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--reg-accum", type=int, default=None)
     args = ap.parse_args()
 
     steps, state = build(args.res, args.batch, args.aug, args.fmaps,
-                         remat=not args.no_remat, packed=not args.no_packed)
+                         remat=not args.no_remat, packed=not args.no_packed,
+                         accum=args.accum,
+                         reg_accum=args.reg_accum or args.accum)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
