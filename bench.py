@@ -19,7 +19,54 @@ import jax.numpy as jnp
 BASELINE_A100_IMGS_PER_SEC = 35.0
 
 
+def wait_for_backend(attempts: int = 6, cooldown_s: int = 120) -> None:
+    """Block until the TPU backend initializes.
+
+    The axon tunnel intermittently refuses new clients ("No jellyfish
+    device found"), typically for a minute or two; jax caches a failed
+    backend init for the process lifetime, so probe in a subprocess and
+    only touch the device here once a probe succeeds.
+    """
+    import os
+    import subprocess
+    import sys
+
+    probe = ("import jax; jax.devices(); "
+             "import jax.numpy as jnp; print(float(jnp.ones(()).sum()))")
+    # The tunnel plugin has been observed to register under 'tpu' while the
+    # environment presets JAX_PLATFORMS=axon (and vice versa) — probe the
+    # candidates and adopt whichever initializes.
+    preset = os.environ.get("JAX_PLATFORMS")
+    candidates = [preset] if preset else [None]
+    for alt in (None, "tpu", "axon"):
+        if alt not in candidates:
+            candidates.append(alt)
+    for i in range(attempts):
+        for plat in candidates:
+            env = dict(os.environ)
+            env.pop("JAX_PLATFORMS", None)
+            if plat is not None:
+                env["JAX_PLATFORMS"] = plat
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=300, env=env)
+            if r.returncode == 0:
+                if plat is None:
+                    os.environ.pop("JAX_PLATFORMS", None)
+                else:
+                    os.environ["JAX_PLATFORMS"] = plat
+                import jax
+
+                jax.config.update("jax_platforms", plat or None)
+                return
+        print(f"# backend probe {i + 1}/{attempts} failed; "
+              f"retrying in {cooldown_s}s", flush=True)
+        time.sleep(cooldown_s)
+    # Fall through: let the real run surface the error.
+
+
 def main():
+    wait_for_backend()
+
     from gagan_tpu.models import stylegan2 as sg2
 
     cfg = sg2.GeneratorConfig(
