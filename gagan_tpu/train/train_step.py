@@ -66,6 +66,11 @@ class TrainConfig:
     # every loss/metric is a per-sample mean.
     accum_rounds: int = 1
     reg_accum_rounds: Optional[int] = None    # default: accum_rounds
+    # Roll the rounds into one lax.scan body (compile time independent of
+    # the round count) instead of unrolling them in Python.  Numerics are
+    # identical; unrolling lets XLA specialize per round and is fine for
+    # 2-3 rounds.
+    accum_scan: bool = True
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -110,24 +115,41 @@ def _scrub(grads):
         lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads)
 
 
-def _chunk(x, rounds: int, r: int):
+def _chunk(x, rounds: int, r):
+    """Round ``r``'s chunk of the leading (batch) axis.  ``r`` may be a
+    traced scalar (the lax.scan carry index)."""
     if x is None or rounds <= 1:
         return x
     n = x.shape[0] // rounds
-    return x[r * n:(r + 1) * n]
+    return jax.lax.dynamic_slice_in_dim(x, r * n, n, axis=0)
 
 
-def _accum(run_round, rounds: int, key):
+def _accum(run_round, rounds: int, key, scan: bool = True):
     """Average the ((loss, metrics), grads) output of ``run_round(r, key_r)``
     over ``rounds`` sequential chunks (reference rounds loop,
     training_loop.py:496-516).  Exact for per-sample-mean losses; with
-    rounds == 1 the caller's key passes through untouched."""
+    rounds == 1 the caller's key passes through untouched.
+
+    ``scan=True`` rolls the rounds into one lax.scan body so compile time
+    does not grow with the round count; numerics match the unrolled loop
+    (same addition order)."""
     if rounds <= 1:
         return run_round(0, key)
-    acc = None
-    for r in range(rounds):
+    if not scan:
+        acc = None
+        for r in range(rounds):
+            out = run_round(r, jax.random.fold_in(key, r))
+            acc = out if acc is None else jax.tree.map(jnp.add, acc, out)
+        return jax.tree.map(lambda x: x / rounds, acc)
+
+    out_shapes = jax.eval_shape(run_round, 0, key)
+    init = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), out_shapes)
+
+    def body(acc, r):
         out = run_round(r, jax.random.fold_in(key, r))
-        acc = out if acc is None else jax.tree.map(jnp.add, acc, out)
+        return jax.tree.map(jnp.add, acc, out), None
+
+    acc, _ = jax.lax.scan(body, init, jnp.arange(rounds))
     return jax.tree.map(lambda x: x / rounds, acc)
 
 
@@ -222,7 +244,7 @@ def make_phase_steps(
             return jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.g_params, state.offsets)
 
-        (loss, metrics), grads = _accum(run_round, main_rounds, key)
+        (loss, metrics), grads = _accum(run_round, main_rounds, key, scan=cfg.accum_scan)
         g_grads = _scrub(grads[0])
         updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                            state.g_params)
@@ -261,7 +283,7 @@ def make_phase_steps(
             return jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.g_params, state.offsets)
 
-        (_, metrics), grads = _accum(run_round, reg_rounds, key)
+        (_, metrics), grads = _accum(run_round, reg_rounds, key, scan=cfg.accum_scan)
         g_grads = _scrub(grads[0])
         updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                            state.g_params)
@@ -290,7 +312,7 @@ def make_phase_steps(
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
 
-        (_, metrics), grads = _accum(run_round, main_rounds, key)
+        (_, metrics), grads = _accum(run_round, main_rounds, key, scan=cfg.accum_scan)
         grads = _scrub(grads)
         updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
                                            state.d_params)
@@ -310,7 +332,7 @@ def make_phase_steps(
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
 
-        (_, metrics), grads = _accum(run_round, reg_rounds, key)
+        (_, metrics), grads = _accum(run_round, reg_rounds, key, scan=cfg.accum_scan)
         grads = _scrub(grads)
         updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
                                            state.d_params)

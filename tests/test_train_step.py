@@ -314,9 +314,9 @@ def test_accum_rounds_match_full_batch():
     z = jax.random.normal(jax.random.PRNGKey(4), (4, 32))
 
     states, grads = [], []
-    for accum in (1, 2):
+    for accum, scan in ((1, True), (2, True), (2, False)):
         cfg = ts.TrainConfig(batch_size=4, accum_rounds=accum,
-                             loss=lcfg)
+                             accum_scan=scan, loss=lcfg)
         g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
         state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
         _, _, d_main, _ = ts.make_phase_steps(cfg, g_cfg, d_cfg, g_tx, d_tx)
@@ -326,12 +326,13 @@ def test_accum_rounds_match_full_batch():
 
     # With use_noise off and mixing off, run_G is key-independent, so the
     # chunked d_params update must match the full-batch one exactly-ish
-    # (fp reassociation of the chunk mean only).
+    # (fp reassociation of the chunk mean only) — for both the lax.scan
+    # and the unrolled accumulation paths.
     flat1 = jax.tree_util.tree_leaves(states[0].d_params)
-    flat2 = jax.tree_util.tree_leaves(states[1].d_params)
-    for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-5)
+    for other in states[1:]:
+        for a, b in zip(flat1, jax.tree_util.tree_leaves(other.d_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
 
     # Reg phases run under accumulation (finiteness smoke).
     cfg = ts.TrainConfig(batch_size=4, accum_rounds=1, reg_accum_rounds=2,
