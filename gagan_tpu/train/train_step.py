@@ -66,6 +66,12 @@ class TrainConfig:
     # every loss/metric is a per-sample mean.
     accum_rounds: int = 1
     reg_accum_rounds: Optional[int] = None    # default: accum_rounds
+    # Per-phase overrides: R1's D double-backward peaks higher than PL's
+    # G jvp (which already runs on batch/pl_batch_shrink), so on a memory
+    # edge d_reg wants more rounds than g_reg (measured at 1024²/batch 32:
+    # g_reg fits at 2 rounds where d_reg needs 4).
+    g_reg_accum_rounds: Optional[int] = None  # default: reg_accum_rounds
+    d_reg_accum_rounds: Optional[int] = None  # default: reg_accum_rounds
     # Roll the rounds into one lax.scan body (compile time independent of
     # the round count) instead of unrolling them in Python.  Numerics are
     # identical; unrolling lets XLA specialize per round and is fine for
@@ -230,7 +236,9 @@ def make_phase_steps(
             return None
 
     main_rounds = max(cfg.accum_rounds, 1)
-    reg_rounds = max(cfg.reg_accum_rounds or cfg.accum_rounds, 1)
+    reg_default = cfg.reg_accum_rounds or cfg.accum_rounds
+    g_reg_rounds = max(cfg.g_reg_accum_rounds or reg_default, 1)
+    d_reg_rounds = max(cfg.d_reg_accum_rounds or reg_default, 1)
 
     def g_main_step(state: TrainState, z, c, key):
         def run_round(r, k):
@@ -275,15 +283,15 @@ def make_phase_steps(
         def run_round(r, k):
             def loss_fn(g_params, offsets):
                 loss, metrics = gan_loss.g_pl_loss(
-                    lcfg, g_cfg, g_params, _chunk(z, reg_rounds, r),
-                    _chunk(c, reg_rounds, r), k, state.pl_mean,
+                    lcfg, g_cfg, g_params, _chunk(z, g_reg_rounds, r),
+                    _chunk(c, g_reg_rounds, r), k, state.pl_mean,
                     hooks=make_hooks(offsets))
                 return loss * gain, metrics
 
             return jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.g_params, state.offsets)
 
-        (_, metrics), grads = _accum(run_round, reg_rounds, key, scan=cfg.accum_scan)
+        (_, metrics), grads = _accum(run_round, g_reg_rounds, key, scan=cfg.accum_scan)
         g_grads = _scrub(grads[0])
         updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state,
                                            state.g_params)
@@ -325,14 +333,14 @@ def make_phase_steps(
         def run_round(r, k):
             def loss_fn(d_params):
                 loss, metrics = gan_loss.d_r1_loss(
-                    lcfg, d_cfg, d_params, _chunk(real_img, reg_rounds, r),
-                    _chunk(real_c, reg_rounds, r), k,
+                    lcfg, d_cfg, d_params, _chunk(real_img, d_reg_rounds, r),
+                    _chunk(real_c, d_reg_rounds, r), k,
                     augment_fn=augment_fn, ada_p=state.ada_p)
                 return loss * gain, metrics
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
 
-        (_, metrics), grads = _accum(run_round, reg_rounds, key, scan=cfg.accum_scan)
+        (_, metrics), grads = _accum(run_round, d_reg_rounds, key, scan=cfg.accum_scan)
         grads = _scrub(grads)
         updates, d_opt_state = d_tx.update(grads, state.d_opt_state,
                                            state.d_params)

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 
 def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
-          packed: bool, accum: int = 1, reg_accum: int = 1):
+          packed: bool, accum: int = 1, reg_accum: int = 1,
+          g_reg_accum: int = None, d_reg_accum: int = None):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -46,7 +47,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
         batch_size=batch,
         loss=gan_loss.GANLossConfig(r1_gamma=0.0002 * res * res / batch),
         ada_target=0.6 if aug else None,
-        accum_rounds=accum, reg_accum_rounds=reg_accum)
+        accum_rounds=accum, reg_accum_rounds=reg_accum,
+        g_reg_accum_rounds=g_reg_accum, d_reg_accum_rounds=d_reg_accum)
 
     augment_fn = None
     if aug:
@@ -81,12 +83,16 @@ def main():
     ap.add_argument("--no-packed", action="store_true")
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--reg-accum", type=int, default=None)
+    ap.add_argument("--g-reg-accum", type=int, default=None)
+    ap.add_argument("--d-reg-accum", type=int, default=None)
     args = ap.parse_args()
 
     steps, state = build(args.res, args.batch, args.aug, args.fmaps,
                          remat=not args.no_remat, packed=not args.no_packed,
                          accum=args.accum,
-                         reg_accum=args.reg_accum or args.accum)
+                         reg_accum=args.reg_accum or args.accum,
+                         g_reg_accum=args.g_reg_accum,
+                         d_reg_accum=args.d_reg_accum)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
