@@ -115,14 +115,28 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
 
     # batch_gpu < batch/devices => sequential gradient-accumulation rounds
     # inside the jitted phase step (reference train.py:300-306).
+    device_batch = max(spec["mb"] // n_dev, 1)
     accum_rounds = 1
+    g_reg_rounds = d_reg_rounds = None
     if batch_gpu is not None:
-        device_batch = spec["mb"] // n_dev
         if device_batch % batch_gpu:
             raise click.ClickException(
                 f"--batch-gpu={batch_gpu} must divide the per-device batch "
                 f"{device_batch} (= batch {spec['mb']} / {n_dev} devices)")
         accum_rounds = device_batch // batch_gpu
+    elif res >= 1024:
+        # Auto live-batch cap for one 16G v5e chip at 1024²: main phases
+        # fit 16 samples, R1's double-backward fits 8 (measured; batch 32
+        # runs the full ADA step at 74.9 sec/kimg vs 177 at live-batch 4).
+        def rounds_for(cap):
+            r = -(-device_batch // cap)
+            while device_batch % r:
+                r += 1
+            return r
+
+        accum_rounds = rounds_for(16)
+        g_reg_rounds = rounds_for(16)
+        d_reg_rounds = rounds_for(8)
 
     g_parts = tuple(generator_requires_grad_parts.split(","))
 
@@ -147,6 +161,8 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
         ada_target=(target if aug == "ada" else None),
         batch_size=spec["mb"],
         accum_rounds=accum_rounds,
+        g_reg_accum_rounds=g_reg_rounds,
+        d_reg_accum_rounds=d_reg_rounds,
         loss=gan_loss.GANLossConfig(r1_gamma=spec["gamma"]),
         g_requires_grad_parts=g_parts,
         freeze_d_layers=freezed)
