@@ -78,6 +78,7 @@ def training_loop(
     ga_refine_fn: Optional[Callable] = None,
     parametrization: Optional[str] = None,
     weight_parts: Tuple[str, ...] = ("all",),
+    reg_remat: bool = False,
 ) -> ts.TrainState:
     run_dir = loop_cfg.run_dir
     os.makedirs(run_dir, exist_ok=True)
@@ -152,11 +153,21 @@ def training_loop(
     augment_fn = aug.make_augment_fn(augment_cfg) if augment_cfg else None
 
     # Phase steps: 4 static variants keyed by (do_g_reg, do_d_reg).
+    # reg_remat: with un-remat'd base configs, the variants containing R1
+    # (1 of 16 batches) use fully remat'd ones — R1's double-backward
+    # peaks past HBM where the hot variants run 10-17% faster un-remat'd
+    # (measured at 1024²; see tools/bench_train.py).
+    r1_g_cfg, r1_d_cfg = g_cfg, d_cfg
+    if reg_remat:
+        r1_g_cfg = dataclasses.replace(
+            g_cfg, synthesis=dataclasses.replace(g_cfg.synthesis, remat=True))
+        r1_d_cfg = dataclasses.replace(d_cfg, remat=True)
     steps = {}
     for do_g in (False, True):
         for do_d in (False, True):
+            v_g, v_d = (r1_g_cfg, r1_d_cfg) if do_d else (g_cfg, d_cfg)
             steps[(do_g, do_d)] = jax.jit(ts.make_fused_step(
-                train_cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn=augment_fn,
+                train_cfg, v_g, v_d, g_tx, d_tx, augment_fn=augment_fn,
                 do_g_reg=do_g, do_d_reg=do_d,
                 offsets_spec=offsets_spec, offsets_tx=offsets_tx),
                 donate_argnums=(0,))

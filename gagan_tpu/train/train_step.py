@@ -217,6 +217,8 @@ def make_phase_steps(
     augment_fn: gan_loss.AugmentFn = None,
     offsets_spec=None,
     offsets_tx: Optional[optax.GradientTransformation] = None,
+    reg_g_cfg: Optional[sg2.GeneratorConfig] = None,
+    reg_d_cfg: Optional[sg2.DiscriminatorConfig] = None,
 ):
     """Build the four phase step functions (not yet jitted).
 
@@ -224,8 +226,17 @@ def make_phase_steps(
     jointly w.r.t. (g_params, offsets) with the offset hooks applied — the
     domain-adaptation training mode (Affine+/AffineLight+/StyleSpace+,
     reference README.md:149-212 protocol).
+
+    ``reg_g_cfg``/``reg_d_cfg`` override the model configs for the reg
+    phases only — apply-time knobs (remat), not parameter structure.  R1's
+    double-backward peaks well above the main phases, so on a memory edge
+    the best configuration runs the main phases un-remat'd and only the
+    d_reg phase with remat (measured at 1024²: main phases are 14-17%
+    faster without remat, while R1 OOMs without it).
     """
     lcfg = cfg.loss
+    reg_g_cfg = reg_g_cfg or g_cfg
+    reg_d_cfg = reg_d_cfg or d_cfg
     if offsets_spec is not None:
         from gagan_tpu.params import offsets as offs_lib
 
@@ -283,7 +294,7 @@ def make_phase_steps(
         def run_round(r, k):
             def loss_fn(g_params, offsets):
                 loss, metrics = gan_loss.g_pl_loss(
-                    lcfg, g_cfg, g_params, _chunk(z, g_reg_rounds, r),
+                    lcfg, reg_g_cfg, g_params, _chunk(z, g_reg_rounds, r),
                     _chunk(c, g_reg_rounds, r), k, state.pl_mean,
                     hooks=make_hooks(offsets))
                 return loss * gain, metrics
@@ -333,7 +344,7 @@ def make_phase_steps(
         def run_round(r, k):
             def loss_fn(d_params):
                 loss, metrics = gan_loss.d_r1_loss(
-                    lcfg, d_cfg, d_params, _chunk(real_img, d_reg_rounds, r),
+                    lcfg, reg_d_cfg, d_params, _chunk(real_img, d_reg_rounds, r),
                     _chunk(real_c, d_reg_rounds, r), k,
                     augment_fn=augment_fn, ada_p=state.ada_p)
                 return loss * gain, metrics
@@ -361,6 +372,8 @@ def make_fused_step(
     do_d_reg: bool = True,
     offsets_spec=None,
     offsets_tx=None,
+    reg_g_cfg=None,
+    reg_d_cfg=None,
 ):
     """One batch = Gmain [+Greg] + Dmain [+Dreg] + EMA + nimg bump.
 
@@ -369,7 +382,8 @@ def make_fused_step(
     """
     g_main, g_reg, d_main, d_reg = make_phase_steps(
         cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn,
-        offsets_spec=offsets_spec, offsets_tx=offsets_tx)
+        offsets_spec=offsets_spec, offsets_tx=offsets_tx,
+        reg_g_cfg=reg_g_cfg, reg_d_cfg=reg_d_cfg)
 
     def step(state: TrainState, real_img, real_c, z, gen_c, key):
         keys = jax.random.split(key, 4)

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           packed: bool, accum: int = 1, reg_accum: int = 1,
-          g_reg_accum: int = None, d_reg_accum: int = None):
+          g_reg_accum: int = None, d_reg_accum: int = None,
+          reg_remat: bool = False):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -50,6 +51,17 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
         accum_rounds=accum, reg_accum_rounds=reg_accum,
         g_reg_accum_rounds=g_reg_accum, d_reg_accum_rounds=d_reg_accum)
 
+    # reg_remat: the hot variants (no d_reg, i.e. 15 of 16 batches) run
+    # un-remat'd; the variant containing R1 — whose double-backward peaks
+    # ~250M above the 16G chip even at live batch 4 when the rest of the
+    # fused program is un-remat'd — uses fully remat'd model configs.
+    both_g_cfg, both_d_cfg = g_cfg, d_cfg
+    if reg_remat and not remat:
+        import dataclasses as _dc
+        both_g_cfg = _dc.replace(
+            g_cfg, synthesis=_dc.replace(g_cfg.synthesis, remat=True))
+        both_d_cfg = _dc.replace(d_cfg, remat=True)
+
     augment_fn = None
     if aug:
         augment_fn = aug_lib.make_augment_fn(aug_lib.make_config(
@@ -64,8 +76,9 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
     steps = {}
     for name, (do_g, do_d) in {"none": (False, False), "greg": (True, False),
                                "both": (True, True)}.items():
+        v_g, v_d = (both_g_cfg, both_d_cfg) if do_d else (g_cfg, d_cfg)
         steps[name] = jax.jit(
-            ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx,
+            ts.make_fused_step(cfg, v_g, v_d, g_tx, d_tx,
                                augment_fn=augment_fn,
                                do_g_reg=do_g, do_d_reg=do_d),
             donate_argnums=(0,))
@@ -85,6 +98,8 @@ def main():
     ap.add_argument("--reg-accum", type=int, default=None)
     ap.add_argument("--g-reg-accum", type=int, default=None)
     ap.add_argument("--d-reg-accum", type=int, default=None)
+    ap.add_argument("--reg-remat", action="store_true",
+                    help="remat only the R1 phase (use with --no-remat)")
     args = ap.parse_args()
 
     steps, state = build(args.res, args.batch, args.aug, args.fmaps,
@@ -92,7 +107,8 @@ def main():
                          accum=args.accum,
                          reg_accum=args.reg_accum or args.accum,
                          g_reg_accum=args.g_reg_accum,
-                         d_reg_accum=args.d_reg_accum)
+                         d_reg_accum=args.d_reg_accum,
+                         reg_remat=args.reg_remat)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
