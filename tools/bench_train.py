@@ -26,7 +26,7 @@ import jax.numpy as jnp
 def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           packed: bool, accum: int = 1, reg_accum: int = 1,
           g_reg_accum: int = None, d_reg_accum: int = None,
-          reg_remat: bool = False):
+          reg_remat: bool = False, packed_blocks: int = 1):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -38,6 +38,7 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
             channel_base=int(fmaps * 32768), channel_max=512,
             num_fp16_res=4, conv_clamp=256,
             packed_last_block=packed and res >= 64,
+            packed_tail_blocks=packed_blocks,
             remat=remat))
     d_cfg = sg2.DiscriminatorConfig(
         img_resolution=res, channel_base=int(fmaps * 32768), channel_max=512,
@@ -100,6 +101,7 @@ def main():
     ap.add_argument("--d-reg-accum", type=int, default=None)
     ap.add_argument("--reg-remat", action="store_true",
                     help="remat only the R1 phase (use with --no-remat)")
+    ap.add_argument("--packed-blocks", type=int, default=1)
     args = ap.parse_args()
 
     steps, state = build(args.res, args.batch, args.aug, args.fmaps,
@@ -108,7 +110,8 @@ def main():
                          reg_accum=args.reg_accum or args.accum,
                          g_reg_accum=args.g_reg_accum,
                          d_reg_accum=args.d_reg_accum,
-                         reg_remat=args.reg_remat)
+                         reg_remat=args.reg_remat,
+                         packed_blocks=args.packed_blocks)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
