@@ -88,9 +88,23 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, loop as loop_lib, train_step as ts
 
-    dataset = ImageFolderDataset(
-        data, use_labels=cond, xflip=mirror, max_size=subset,
-        random_seed=seed)
+    # Prefer the C++ batch decoder for PNG zips (the dataset_tool's output
+    # format) — GIL-free libpng threads keep decode off the dispatch path.
+    dataset = None
+    if data.endswith(".zip"):
+        from gagan_tpu.data import native_loader as nl
+
+        if nl.native_available():
+            try:
+                dataset = nl.NativeZipDataset(
+                    data, use_labels=cond, xflip=mirror, max_size=subset,
+                    random_seed=seed)
+            except IOError:
+                dataset = None   # e.g. non-PNG content; fall back
+    if dataset is None:
+        dataset = ImageFolderDataset(
+            data, use_labels=cond, xflip=mirror, max_size=subset,
+            random_seed=seed)
     res = dataset.resolution
 
     spec = dict(CFG_SPECS[cfg])

@@ -172,9 +172,18 @@ def training_loop(
                 offsets_spec=offsets_spec, offsets_tx=offsets_tx),
                 donate_argnums=(0,))
 
-    # Data.
-    loader = data_loader(dataset, train_cfg.batch_size,
-                         seed=loop_cfg.random_seed)
+    # Data.  A NativeZipDataset decodes whole batches in the C++ loader
+    # (GIL-free libpng threads, native/gagan_loader.cpp) — on a weak host
+    # the Python per-image decode path competes with step dispatch for
+    # CPU and dominates sec/kimg.
+    from gagan_tpu.data import native_loader as nl
+
+    if isinstance(dataset, nl.NativeZipDataset):
+        loader = nl.native_data_loader(dataset, train_cfg.batch_size,
+                                       seed=loop_cfg.random_seed)
+    else:
+        loader = data_loader(dataset, train_cfg.batch_size,
+                             seed=loop_cfg.random_seed)
 
     # Snapshot grid latents.
     grid_n = loop_cfg.grid_size[0] * loop_cfg.grid_size[1]
