@@ -1,23 +1,36 @@
-"""Headline benchmark: FFHQ-1024 StyleGAN2 synthesis throughput on TPU.
+"""Headline benchmarks on TPU: FFHQ-1024 synthesis, ADA training, adaptation.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extra}.
+The headline metric stays FFHQ-1024 synthesis imgs/sec/chip (continuity with
+BENCH_r01); the extra fields carry the full BASELINE.md:59 target surface
+("synthesis + adaptation steps/sec" plus the training tables):
 
-Baseline: the reference stack (StyleGAN2-ADA PyTorch) synthesizes FFHQ-1024
-at roughly 35 imgs/sec on a single A100 (extrapolated from the V100 training
-tables in BASELINE.md — 1024² training at 6.1 imgs/sec/GPU with G+D+ADA+reg
-≈ 5-6x the cost of synthesis-only — and NVIDIA's published ~2x A100/V100
-speedup).  vs_baseline is measured imgs/sec/chip divided by that A100 number;
-the BASELINE.json target is vs_baseline >= 5.
+* train_sec_per_kimg / train_vs_baseline — the fused ADA training step
+  (Gmain+Greg+Dmain+Dreg+EMA, phase-scheduled 12:3:1 per 16 batches) at
+  1024², global batch 32.  Baseline: V100 1-GPU 154.3-161.6 sec/kimg
+  (BASE_README.md:292) / 2.03 A100-vs-V100 training speedup (NVIDIA A100
+  whitepaper-era measured StyleGAN2 ratio) ~= 77.8 sec/kimg on one A100.
+  vs_baseline = 77.8 / measured (>1 is faster than A100).
+* adapt_steps_per_sec / adapt_vs_baseline — one-shot CLIP adaptation step
+  (DiFa-style: frozen G fwd + trainable G fwd/bwd + ViT-B/32+B/16 encodes,
+  batch 4 at 1024², the im2im_difa.yaml:15-57 protocol shapes).  A100
+  anchor: 4 G-forward-equivalents per step (frozen fwd + trainable fwd +
+  ~2x fwd for the backward) at the 35 imgs/sec A100 synthesis rate, CLIP
+  ViT cost negligible at these batch sizes -> 35 / (4 * 4) ~= 2.19
+  steps/sec.  vs_baseline = measured / 2.19.
+
+Each section is watchdog-bounded; a failed section reports null for its
+fields instead of killing the whole bench.
 """
 
+import contextlib
 import json
+import signal
 import time
 
-import jax
-import jax.numpy as jnp
-
 BASELINE_A100_IMGS_PER_SEC = 35.0
-
+BASELINE_A100_TRAIN_SEC_PER_KIMG = 77.8
+BASELINE_A100_ADAPT_STEPS_PER_SEC = 35.0 / (4 * 4)
 
 _RETRY_ENV = "GAGAN_BENCH_INIT_RETRY"
 
@@ -46,7 +59,6 @@ def ensure_backend(max_retries: int = 5, cooldown_s: int = 90) -> None:
         jax.config.update("jax_platforms", None)
     try:
         jax.devices()
-        return
     except RuntimeError as e:
         tries = int(os.environ.get(_RETRY_ENV, "0"))
         if tries >= max_retries:
@@ -56,18 +68,49 @@ def ensure_backend(max_retries: int = 5, cooldown_s: int = 90) -> None:
         time.sleep(cooldown_s)
         os.environ[_RETRY_ENV] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
+    # Persist compiled executables: the remote compile service's latency
+    # varies 180s..1200s for the same program, so a warm cache is the
+    # difference between a 2-minute and a 40-minute bench.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_gagan_bench"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def main():
-    ensure_backend()
+@contextlib.contextmanager
+def watchdog(seconds: int):
+    def _alarm(signum, frame):
+        raise TimeoutError("bench watchdog")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _timed(run, n_iters=6, trim=True):
+    times = []
+    for _ in range(n_iters):
+        start = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - start)
+    if trim and len(times) > 2:
+        times = sorted(times)[1:-1]
+    return sum(times) / len(times)
+
+
+def bench_synthesis():
+    import jax
+    import jax.numpy as jnp
 
     from gagan_tpu.models import stylegan2 as sg2
 
     cfg = sg2.GeneratorConfig(
         img_resolution=1024,
         synthesis=sg2.SynthesisConfig(num_fp16_res=4, conv_clamp=256,
-                                      packed_last_block=True),
-    )
+                                      packed_last_block=True))
     params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
 
     @jax.jit
@@ -88,44 +131,148 @@ def main():
 
     # Larger batches amortize per-op overheads (+50% at 96 vs 32) but the
     # remote compile service intermittently rejects or stalls on the
-    # biggest programs; bound each attempt with SIGALRM and fall back.
-    import signal
-
-    def _alarm(signum, frame):
-        raise TimeoutError("compile watchdog")
-
-    signal.signal(signal.SIGALRM, _alarm)
+    # biggest programs; bound each attempt and fall back.
     run_blocked = None
     for batch in (96, 64, 32):
         try:
-            # The remote compile service's latency varies by an order of
-            # magnitude between sessions (observed 180s..1200s for the
-            # same program); keep the watchdog generous.
-            signal.alarm(900)
-            run_blocked = make_runner(batch)
-            run_blocked()   # warmup / compile
-            run_blocked()
+            with watchdog(900):
+                run_blocked = make_runner(batch)
+                run_blocked()   # warmup / compile
+                run_blocked()
             break
-        except Exception:
+        except Exception as e:
+            print(f"# synthesis batch {batch} failed: {e}", flush=True)
             run_blocked = None
-        finally:
-            signal.alarm(0)
-    assert run_blocked is not None, "no batch size compiled"
+    assert run_blocked is not None, "no synthesis batch size compiled"
 
-    n_iters = 10
-    times = []
-    for _ in range(n_iters):
-        start = time.perf_counter()
-        run_blocked()
-        times.append(time.perf_counter() - start)
-    times = sorted(times)[1:-1]  # trim best/worst
-    imgs_per_sec = batch / (sum(times) / len(times))
-    print(json.dumps({
+    dt = _timed(run_blocked, n_iters=10)
+    return batch / dt
+
+
+def bench_train():
+    """Fused ADA train step at 1024², global batch 32 (accum 2/2/4),
+    phase-variant remat — the shipping CLI configuration."""
+    import importlib.util
+    import os
+
+    import jax
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_train", os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools", "bench_train.py"))
+    bt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bt)
+
+    batch = 32
+    steps, state = bt.build(
+        1024, batch, aug=True, fmaps=1.0, remat=False, packed=True,
+        accum=2, reg_accum=2, g_reg_accum=2, d_reg_accum=4, reg_remat=True)
+
+    key = jax.random.PRNGKey(2)
+    real = jax.random.normal(jax.random.PRNGKey(3), (batch, 3, 1024, 1024))
+    z = jax.random.normal(jax.random.PRNGKey(4), (batch, 512))
+
+    def run(name):
+        nonlocal state
+        state, metrics = steps[name](state, real, None, z, None, key)
+        jax.block_until_ready(state.pl_mean)
+        return float(state.pl_mean)
+
+    per_variant = {}
+    for name in ("none", "greg", "both"):
+        with watchdog(1800):
+            run(name)          # compile
+            per_variant[name] = _timed(lambda: run(name), n_iters=4)
+        print(f"# train variant {name}: {per_variant[name]:.3f} s/step",
+              flush=True)
+    # Scheduler weights per 16 batches: Greg every 4, Dreg every 16 ->
+    # 12x none, 3x +Greg, 1x both.
+    sec_per_batch = (12 * per_variant["none"] + 3 * per_variant["greg"]
+                     + per_variant["both"]) / 16
+    return sec_per_batch / batch * 1000.0
+
+
+def bench_adaptation():
+    """One-shot CLIP adaptation step (DiFa shapes: 1024² G, batch 4,
+    ViT-B/32 + ViT-B/16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gagan_tpu.clip import VIT_B_16, VIT_B_32, init_clip
+    from gagan_tpu.models import stylegan2 as sg2
+    from gagan_tpu.train import adapt_losses as al
+    from gagan_tpu.train import adaptation as ad
+
+    g_cfg = sg2.GeneratorConfig(
+        img_resolution=1024,
+        synthesis=sg2.SynthesisConfig(num_fp16_res=4, conv_clamp=256,
+                                      packed_last_block=True))
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    encoders = {
+        "ViT-B/32": (VIT_B_32, init_clip(jax.random.PRNGKey(1), VIT_B_32)),
+        "ViT-B/16": (VIT_B_16, init_clip(jax.random.PRNGKey(2), VIT_B_16)),
+    }
+    emb = {}
+    for i, (name, (ccfg, _)) in enumerate(encoders.items()):
+        e = jax.random.normal(jax.random.PRNGKey(10 + i), (2, ccfg.embed_dim))
+        e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+        emb[name] = {"src": e[0][None], "trg": e[1][None]}
+
+    cfg = ad.AdaptationConfig(
+        trainer="td_single", batch_size=4, iter_num=301,
+        parametrization="s_delta",
+        visual_encoders=("ViT-B/32", "ViT-B/16"),
+        loss=al.DirectLossConfig(loss_funcs=("direction",),
+                                 loss_coefs=(1.0,)))
+    trainer = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
+                                   jax.random.PRNGKey(3),
+                                   domain_embeddings=emb)
+    with watchdog(1500):
+        trainer.train_step()   # compile
+        dt = _timed(trainer.train_step, n_iters=6)
+    return 1.0 / dt
+
+
+def main():
+    ensure_backend()
+
+    result = {
         "metric": "ffhq1024_synthesis_imgs_per_sec_per_chip",
-        "value": round(imgs_per_sec, 2),
+        "value": None,
         "unit": "imgs/sec/chip",
-        "vs_baseline": round(imgs_per_sec / BASELINE_A100_IMGS_PER_SEC, 3),
-    }))
+        "vs_baseline": None,
+        "train_sec_per_kimg": None,
+        "train_vs_baseline": None,
+        "adapt_steps_per_sec": None,
+        "adapt_vs_baseline": None,
+    }
+    try:
+        imgs_per_sec = bench_synthesis()
+        result["value"] = round(imgs_per_sec, 2)
+        result["vs_baseline"] = round(
+            imgs_per_sec / BASELINE_A100_IMGS_PER_SEC, 3)
+        print(f"# synthesis: {imgs_per_sec:.1f} imgs/s/chip", flush=True)
+    except Exception as e:
+        print(f"# synthesis bench failed: {e}", flush=True)
+    try:
+        sec_per_kimg = bench_train()
+        result["train_sec_per_kimg"] = round(sec_per_kimg, 2)
+        result["train_vs_baseline"] = round(
+            BASELINE_A100_TRAIN_SEC_PER_KIMG / sec_per_kimg, 3)
+        print(f"# train: {sec_per_kimg:.1f} sec/kimg @1024² ADA", flush=True)
+    except Exception as e:
+        print(f"# train bench failed: {e}", flush=True)
+    try:
+        steps_per_sec = bench_adaptation()
+        result["adapt_steps_per_sec"] = round(steps_per_sec, 3)
+        result["adapt_vs_baseline"] = round(
+            steps_per_sec / BASELINE_A100_ADAPT_STEPS_PER_SEC, 3)
+        print(f"# adaptation: {steps_per_sec:.2f} steps/s (batch 4)",
+              flush=True)
+    except Exception as e:
+        print(f"# adaptation bench failed: {e}", flush=True)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -23,7 +23,12 @@ import numpy as np
 import yaml
 
 
-def load_clip_encoders(names):
+def load_clip_encoders(names, overrides: Optional[Dict] = None):
+    """overrides (demo/test only): CLIPConfig field replacements applied when
+    falling back to random weights — lets tiny configs run the full CLI path
+    without the cost of a real ViT."""
+    import dataclasses
+
     import jax
 
     from gagan_tpu.clip import VIT_B_16, VIT_B_32, init_clip
@@ -42,6 +47,8 @@ def load_clip_encoders(names):
         else:
             click.echo(f"[adapt] no converted weights for {name}; "
                        f"using random CLIP (set GAGAN_CLIP_DIR)")
+            if overrides:
+                ccfg = dataclasses.replace(ccfg, **overrides)
             params = init_clip(jax.random.PRNGKey(0), ccfg)
         out[name] = (ccfg, params)
     return out
@@ -69,12 +76,44 @@ def text_embeddings(encoders, source_class, target_class, templates):
 
 @click.command(context_settings=dict(ignore_unknown_options=True,
                                      allow_extra_args=True))
-@click.option("--config", "config_path", required=True)
-@click.option("--network", default=None, help="Source generator snapshot npz")
-@click.option("--outdir", default=None)
+@click.option("--config", "config_path", required=True,
+              help="YAML experiment config (see configs/*.yaml: td_nada, "
+                   "im2im_mtg, im2im_jojo, im2im_difa + _sdelta/_low_memory "
+                   "variants)")
+@click.option("--network", default=None,
+              help="Source generator snapshot npz (converted via "
+                   "tools/convert_weights.py); overrides exp.checkpoint. "
+                   "Without either, a freshly initialized generator is used "
+                   "(demo mode).")
+@click.option("--outdir", default=None,
+              help="Output directory; default <exp.root>/<exp.name>")
 @click.pass_context
 def main(ctx, config_path, network, outdir):
-    """Run a domain-adaptation experiment from a YAML config."""
+    """Run a one-shot/zero-shot domain-adaptation experiment from a YAML
+    config (mirrors SimilarDomains/main.py).
+
+    Any extra KEY=VALUE arguments are OmegaConf-style dotlist overrides
+    merged over the YAML, e.g.:
+
+        python -m gagan_tpu.cli.adapt --config configs/td_nada.yaml
+        training.target_class="Anime" optimization_setup.lr=0.005 exp.name=run1
+
+    Config blocks: exp (trainer/name/root/seed/checkpoint), training
+    (batch_size, iter_num, source_class, target_class, patch_key,
+    visual_encoders, mixing_noise, auto layer selection), optimization_setup
+    (lr, loss_funcs, loss_coefs), logging (log_every), checkpointing
+    (step_backup), inversion (latents/steps, im2im trainers).
+
+    Frozen towers: CLIP weights load from GAGAN_CLIP_DIR
+    (vit_b_32.npz/vit_b_16.npz); without them a deterministic random CLIP is
+    used (machinery runs; semantics need real weights).  Text prompts use
+    the CLIP BPE vocab from GAGAN_CLIP_BPE, else a byte-level fallback
+    tokenizer (tagged, unmerged token sequences).
+
+    Outputs in the run dir: config.yaml (resolved), losses.jsonl, and
+    adaptation-NNNNNN.npz checkpoints consumable by generate --s-direction
+    and gagan_tpu.inference.Inferencer.
+    """
     import jax
 
     from gagan_tpu.cli.generate import load_generator
@@ -103,12 +142,21 @@ def main(ctx, config_path, network, outdir):
     else:
         click.echo("[adapt] no --network; using a freshly initialized "
                    "generator (demo mode)")
+        gen_args = training.get("generator_args", {})
         g_cfg = sg2.GeneratorConfig(
-            img_resolution=int(training.get("img_resolution", 256)))
+            img_resolution=int(training.get("img_resolution", 256)),
+            z_dim=int(gen_args.get("z_dim", 512)),
+            w_dim=int(gen_args.get("w_dim", 512)),
+            mapping=sg2.MappingConfig(
+                num_layers=int(gen_args.get("num_mapping_layers", 8))),
+            synthesis=sg2.SynthesisConfig(
+                channel_base=int(gen_args.get("channel_base", 32768)),
+                channel_max=int(gen_args.get("channel_max", 512))))
         g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
 
-    encoders = load_clip_encoders(tuple(training.get(
-        "visual_encoders", ["ViT-B/32"])))
+    encoders = load_clip_encoders(
+        tuple(training.get("visual_encoders", ["ViT-B/32"])),
+        overrides=training.get("clip_config_overrides"))
 
     scc = None
     loss_funcs = tuple(opt.get("loss_funcs", ["direction"]))

@@ -30,6 +30,17 @@ def main(network, metrics, data, mirror, cache_dir, batch, verbose):
                 f"Unknown metric: {m}. Valid: "
                 f"{metric_main.list_valid_metrics()} or fid<N>k")
 
+    from gagan_tpu.metrics import detectors as det_lib
+
+    probe = det_lib.make_default("inception")
+    if probe.name.endswith("-random"):
+        click.secho(
+            "WARNING: feature detectors are deterministic RANDOM towers "
+            "(GAGAN_DETECTOR_DIR unset or missing converted weights).  "
+            "Metric machinery runs, but the reported values are NOT "
+            "canonical FID/KID/etc. and are not comparable to published "
+            "numbers.", fg="yellow", err=True)
+
     g_cfg, params = load_generator(network)
     dataset = ImageFolderDataset(data, xflip=mirror) if data else None
 

@@ -70,6 +70,17 @@ def main(network, target_fname, num_steps, seed, outdir, space,
 
     synth = jax.jit(lambda w: sg2.synthesis_apply(
         g_cfg.synthesis, params["synthesis"], w, noise_mode="const"))
+    mapping = jax.jit(lambda z: sg2.mapping_apply(
+        g_cfg.mapping, params["mapping"], z, truncation_psi=truncation_psi))
+
+    def latent_to_ws(latent):
+        """Dispatch per space like the reference's generate_image
+        (DissimilarDomains/projector.py:184-207): z latents go through the
+        mapping network (with truncation); w latents are broadcast to W+."""
+        latent = jnp.asarray(latent)[None]
+        if space == "z":
+            return mapping(latent)
+        return jnp.repeat(latent[:, None], g_cfg.num_ws, axis=1)
 
     def to_uint8(img):
         img = np.asarray(img).transpose(0, 2, 3, 1)
@@ -87,13 +98,11 @@ def main(network, target_fname, num_steps, seed, outdir, space,
             return_trajectory=save_all_steps)
         if save_all_steps:
             trajectory, w_plus = result
-            np.savez(f"{outdir}/{stem}_steps.npz", w=trajectory)
+            np.savez(f"{outdir}/{stem}_steps.npz", **{space: trajectory})
             frame_dir = f"{outdir}/{stem}_steps"
             os.makedirs(frame_dir, exist_ok=True)
             for step in range(0, len(trajectory), max(save_n, 1)):
-                w_step = jnp.repeat(
-                    jnp.asarray(trajectory[step])[None, None],
-                    g_cfg.num_ws, axis=1)
+                w_step = latent_to_ws(trajectory[step])
                 PIL.Image.fromarray(
                     to_uint8(synth(w_step))[0], "RGB").save(
                         f"{frame_dir}/step{step:05d}.png")

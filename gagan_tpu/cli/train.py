@@ -60,6 +60,13 @@ CFG_SPECS = {
               help="Probability for --aug=fixed")
 @click.option("--target", type=float, default=0.6, show_default=True)
 @click.option("--augpipe", default="bgc", show_default=True)
+@click.option("--aug-dtype", type=click.Choice(["auto", "float32",
+                                                "bfloat16"]),
+              default="auto", show_default=True,
+              help="Augment-pipe compute dtype; 'auto' picks bfloat16 at "
+                   "res>=256 (HBM-bound), float32 below.  Use float32 for "
+                   "reference-parity runs (R1 differentiates through the "
+                   "pipe, so bf16 is a numerics deviation).")
 @click.option("--resume", default=None, help="Snapshot .npz to resume from")
 @click.option("--freezed", type=int, default=0, help="Freeze-D layers")
 @click.option("--lrate", type=float, default=None)
@@ -77,7 +84,8 @@ CFG_SPECS = {
 @click.option("--dry-run", is_flag=True)
 def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
          mirror,
-         subset, aug, aug_p, target, augpipe, resume, freezed, lrate, glrate,
+         subset, aug, aug_p, target, augpipe, aug_dtype, resume, freezed,
+         lrate, glrate,
          dlrate, use_domain_modulation, domain_modulation_parametrization,
          generator_requires_grad_parts, snap, seed, dry_run):
     """Train a StyleGAN2 (optionally domain-adapted) model on TPU."""
@@ -190,10 +198,14 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
 
     augment_cfg = None
     if aug != "noaug":
-        # bf16 pipe when the D's high-res blocks are bf16 anyway (the pipe
-        # is HBM-bound; see AugmentConfig.compute_dtype).
-        augment_cfg = aug_lib.make_config(
-            augpipe, compute_dtype="bfloat16" if res >= 256 else None)
+        # 'auto': bf16 pipe when the D's high-res blocks are bf16 anyway
+        # (the pipe is HBM-bound; see AugmentConfig.compute_dtype).
+        if aug_dtype == "auto":
+            compute_dtype = "bfloat16" if res >= 256 else None
+        else:
+            compute_dtype = None if aug_dtype == "float32" else aug_dtype
+        augment_cfg = aug_lib.make_config(augpipe,
+                                          compute_dtype=compute_dtype)
 
     loop_cfg = loop_lib.LoopConfig(
         run_dir=outdir, total_kimg=spec["kimg"], random_seed=seed,

@@ -1,10 +1,18 @@
 """CLIP byte-pair-encoding tokenizer.
 
 Standard CLIP BPE (as used by the reference via the `clip` package's
-`clip.tokenize`, `SimilarDomains/trainers.py:272-276`).  Requires the public
-vocab file `bpe_simple_vocab_16e6.txt.gz`; point GAGAN_CLIP_BPE at it (this
-environment has no network egress, so the file must be provided like the
-model weights).
+`clip.tokenize`, `SimilarDomains/trainers.py:272-276`).  The public vocab
+file `bpe_simple_vocab_16e6.txt.gz` is located via GAGAN_CLIP_BPE or the
+local HuggingFace cache (transformers ships the same merge table for
+openai/clip-vit-*).
+
+Without any vocab file the tokenizer degrades to a deterministic BYTE-LEVEL
+fallback: CLIP's vocab places the 512 byte tokens (256 raw + 256 `</w>`
+word-final) at ids 0..511 and `<|startoftext|>`/`<|endoftext|>` at
+49406/49407, so encoding with zero merges still produces valid CLIP token
+ids — just longer, unmerged sequences.  Like the random metric towers, this
+is tagged loudly (`is_byte_fallback`, stderr warning): embeddings are
+consistent but NOT equal to real-CLIP tokenization.
 """
 
 from __future__ import annotations
@@ -63,21 +71,34 @@ class SimpleTokenizer:
         import re
 
         bpe_path = bpe_path or os.environ.get("GAGAN_CLIP_BPE", "")
-        if not bpe_path or not os.path.isfile(bpe_path):
-            raise FileNotFoundError(
-                "CLIP BPE vocab not found; set GAGAN_CLIP_BPE to "
-                "bpe_simple_vocab_16e6.txt.gz")
+        self.is_byte_fallback = not (bpe_path and os.path.isfile(bpe_path))
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
-        merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
-        merges = merges[1: 49152 - 256 - 2 + 1]
-        merges = [tuple(m.split()) for m in merges]
+        if self.is_byte_fallback:
+            import sys
+
+            print("[gagan_tpu.clip] WARNING: no BPE vocab "
+                  "(set GAGAN_CLIP_BPE to bpe_simple_vocab_16e6.txt.gz); "
+                  "using the byte-level fallback tokenizer — token ids are "
+                  "valid CLIP ids but sequences are unmerged, embeddings "
+                  "differ from real-CLIP tokenization", file=sys.stderr)
+            merges = []
+        else:
+            merges = gzip.open(bpe_path).read().decode("utf-8").split("\n")
+            merges = merges[1: 49152 - 256 - 2 + 1]
+            merges = [tuple(m.split()) for m in merges]
         vocab = list(bytes_to_unicode().values())
         vocab = vocab + [v + "</w>" for v in vocab]
         for merge in merges:
             vocab.append("".join(merge))
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
         self.encoder = dict(zip(vocab, range(len(vocab))))
+        if self.is_byte_fallback:
+            # Pin the special tokens at their real-CLIP ids (49406/49407 =
+            # 512 byte tokens + 48894 merges) so converted text towers index
+            # the right embedding rows.
+            self.encoder["<|startoftext|>"] = 49406
+            self.encoder["<|endoftext|>"] = 49407
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.cache = {"<|startoftext|>": "<|startoftext|>",

@@ -2,10 +2,11 @@
 dataset-zip format (uncompressed PNGs + dataset.json labels).
 
 Re-implementation of the reference `dataset_tool.py` (`dataset_tool.py:326-475`,
-`make_transform:211`): folder / zip / CIFAR-10 readers, scale and
-center-crop(-wide) transforms, square power-of-two resolution enforcement.
-LMDB/LSUN and MNIST readers are omitted (lmdb is not available in this
-environment); the folder/zip path covers the reference's published workflows.
+`make_transform:211`): folder / zip / LMDB(LSUN) / CIFAR-10 / MNIST readers,
+scale and center-crop(-wide) transforms, square power-of-two resolution
+enforcement.  The LMDB path uses a pure-Python on-disk-format reader
+(gagan_tpu.data.lmdb_reader) instead of the `lmdb` package
+(`dataset_tool.py:117-141`).
 """
 
 from __future__ import annotations
@@ -93,6 +94,56 @@ def open_image_zip(source, *, max_images: Optional[int]):
     return max_idx, iterate_images()
 
 
+def open_lmdb(lmdb_dir: str, *, max_images: Optional[int]):
+    """LSUN-style LMDB of encoded images (dataset_tool.py:117-141); decoded
+    with PIL (the reference prefers cv2 and falls back to PIL — identical
+    pixels for the webp/jpg content LSUN ships)."""
+    from gagan_tpu.data.lmdb_reader import LMDBReader
+
+    reader = LMDBReader(lmdb_dir)
+    max_idx = maybe_min(len(reader), max_images)
+
+    def iterate_images():
+        for idx, (_key, value) in enumerate(reader):
+            try:
+                img = np.array(PIL.Image.open(io.BytesIO(value))
+                               .convert("RGB"))
+                yield dict(img=img, label=None)
+            except Exception as e:  # mirror the reference's skip-and-print
+                print(e)
+                continue
+            if idx >= max_idx - 1:
+                break
+
+    return max_idx, iterate_images()
+
+
+def open_mnist(images_gz: str, *, max_images: Optional[int]):
+    """MNIST idx-ubyte pair, padded 28->32 (dataset_tool.py:180-205)."""
+    import gzip
+
+    labels_gz = images_gz.replace("-images-idx3-ubyte.gz",
+                                  "-labels-idx1-ubyte.gz")
+    assert labels_gz != images_gz
+    with gzip.open(images_gz, "rb") as f:
+        images = np.frombuffer(f.read(), np.uint8, offset=16)
+    with gzip.open(labels_gz, "rb") as f:
+        labels = np.frombuffer(f.read(), np.uint8, offset=8)
+    images = images.reshape(-1, 28, 28)
+    images = np.pad(images, [(0, 0), (2, 2), (2, 2)], "constant",
+                    constant_values=0)
+    assert images.shape[0] == labels.shape[0]
+    max_idx = maybe_min(len(images), max_images)
+
+    def iterate_images():
+        for idx, img in enumerate(images):
+            yield dict(img=img, label=int(labels[idx]))
+            if idx >= max_idx - 1:
+                break
+
+    return max_idx, iterate_images()
+
+
 def open_cifar10(tarball: str, *, max_images: Optional[int]):
     images = []
     labels = []
@@ -118,10 +169,16 @@ def open_cifar10(tarball: str, *, max_images: Optional[int]):
 
 def open_dataset(source, *, max_images: Optional[int]):
     if os.path.isdir(source):
+        if os.path.isfile(os.path.join(source, "data.mdb")):
+            return open_lmdb(source, max_images=max_images)
         return open_image_folder(source, max_images=max_images)
     if os.path.isfile(source):
         if os.path.basename(source) == "cifar-10-python.tar.gz":
             return open_cifar10(source, max_images=max_images)
+        if source.endswith("-images-idx3-ubyte.gz"):
+            return open_mnist(source, max_images=max_images)
+        if os.path.splitext(source)[1].lower() in (".mdb", ".lmdb"):
+            return open_lmdb(source, max_images=max_images)
         if os.path.splitext(source)[1].lower() == ".zip":
             return open_image_zip(source, max_images=max_images)
     error(f"Missing or unsupported input: {source}")

@@ -93,13 +93,6 @@ def build_packed_conv3x3(w: jax.Array) -> jax.Array:
     return wp
 
 
-def _compose_up_1d(w_taps: int, f: jax.Array, up: int = 2):
-    """G = conv(flip(w), flip(f)) tap composition helper: returns, per output
-    cell i, the list of (d, c) with c = 2d + (w_taps - 1 + len(f) - 1 - 1)
-    ... computed generically below."""
-    raise NotImplementedError  # composition happens inline in the builder
-
-
 def build_packed_upconv(w: jax.Array, f: jax.Array) -> jax.Array:
     """Composed (up=2 conv3x3 + separable FIR) kernel, unpacked -> packed.
 

@@ -59,11 +59,16 @@ class TrainConfig:
     d_requires_grad_parts: Tuple[str, ...] = ("all",)
     freeze_d_layers: int = 0
     # Gradient accumulation: each phase splits its device batch into this
-    # many sequential rounds and averages the gradients — the reference's
-    # batch_size / batch_gpu rounds loop (training_loop.py:496-516).  The
-    # reg phases may use a higher round count (R1's double-backward holds
-    # ~4x the activations of a main phase); exact for all losses here since
-    # every loss/metric is a per-sample mean.
+    # many sequential rounds and AVERAGES the gradients.  Deliberate
+    # deviation from the reference's batch_size / batch_gpu rounds loop
+    # (training_loop.py:496-516), which SUMS per-round gradients
+    # (loss.mean().mul(gain).backward() with no division) so its effective
+    # gradient scales with the round count.  Averaging keeps the effective
+    # step invariant to accum_rounds; to reproduce a reference run that
+    # relied on sum semantics, scale the learning rate by the round count.
+    # Exact for all losses here since every loss/metric is a per-sample
+    # mean.  The reg phases may use a higher round count (R1's
+    # double-backward holds ~4x the activations of a main phase).
     accum_rounds: int = 1
     reg_accum_rounds: Optional[int] = None    # default: accum_rounds
     # Per-phase overrides: R1's D double-backward peaks higher than PL's
@@ -126,15 +131,20 @@ def _chunk(x, rounds: int, r):
     traced scalar (the lax.scan carry index)."""
     if x is None or rounds <= 1:
         return x
+    if x.shape[0] % rounds:
+        raise ValueError(
+            f"accumulation rounds ({rounds}) must divide the phase batch "
+            f"({x.shape[0]}); a remainder would be silently dropped")
     n = x.shape[0] // rounds
     return jax.lax.dynamic_slice_in_dim(x, r * n, n, axis=0)
 
 
 def _accum(run_round, rounds: int, key, scan: bool = True):
     """Average the ((loss, metrics), grads) output of ``run_round(r, key_r)``
-    over ``rounds`` sequential chunks (reference rounds loop,
-    training_loop.py:496-516).  Exact for per-sample-mean losses; with
-    rounds == 1 the caller's key passes through untouched.
+    over ``rounds`` sequential chunks.  Deviation from the reference rounds
+    loop (training_loop.py:496-516), which sums — see TrainConfig.accum_rounds.
+    Exact for per-sample-mean losses; with rounds == 1 the caller's key
+    passes through untouched.
 
     ``scan=True`` rolls the rounds into one lax.scan body so compile time
     does not grow with the round count; numerics match the unrolled loop

@@ -65,9 +65,19 @@ class Collector:
 
 
 class StatsLogger:
-    """stats.jsonl + optional TensorBoard scalars (training_loop.py:634-652)."""
+    """stats.jsonl + optional TensorBoard scalars (training_loop.py:634-652)
+    + optional wandb backend (reference WandbLogger,
+    SimilarDomains/core/utils/loggers.py:80-116).
 
-    def __init__(self, run_dir: str, use_tensorboard: bool = True):
+    wandb activates when ``use_wandb`` is true (or the GAGAN_WANDB env var is
+    set) AND the package imports; it is not part of this image, so the
+    backend degrades to a no-op with a one-line notice rather than failing.
+    """
+
+    def __init__(self, run_dir: str, use_tensorboard: bool = True,
+                 use_wandb: Optional[bool] = None,
+                 wandb_project: str = "gagan_tpu",
+                 config: Optional[Dict] = None):
         os.makedirs(run_dir, exist_ok=True)
         self.run_dir = run_dir
         self._jsonl = open(os.path.join(run_dir, "stats.jsonl"), "at")
@@ -79,6 +89,20 @@ class StatsLogger:
                 self._tb = tensorboard.SummaryWriter(run_dir)
             except Exception:
                 self._tb = None
+        self._wandb = None
+        if use_wandb is None:
+            use_wandb = bool(os.environ.get("GAGAN_WANDB"))
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project=wandb_project,
+                           name=os.path.basename(run_dir.rstrip("/")),
+                           dir=run_dir, config=config or {})
+                self._wandb = wandb
+            except Exception as e:
+                print(f"[stats] wandb requested but unavailable ({e}); "
+                      f"continuing with jsonl/TensorBoard only")
 
     def write(self, collector: Collector, step: int,
               extra: Optional[Dict[str, float]] = None) -> None:
@@ -94,6 +118,21 @@ class StatsLogger:
             for name, v in stats.items():
                 self._tb.add_scalar(name, v["mean"], global_step=step)
             self._tb.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v["mean"] for k, v in stats.items()},
+                            step=step)
+
+    def log_images(self, images, step: int, name: str = "images") -> None:
+        """Image logging (WandbLogger.log_images, loggers.py:98-108);
+        no-op without wandb — the training loop writes PNG grids to the run
+        dir regardless."""
+        if self._wandb is None:
+            return
+        import numpy as np
+
+        arr = np.asarray(images)
+        self._wandb.log({name: [self._wandb.Image(a) for a in arr]},
+                        step=step)
 
     def log_histograms(self, trees: Dict[str, Any], step: int) -> None:
         """Per-parameter TensorBoard histograms, named
@@ -119,3 +158,5 @@ class StatsLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()

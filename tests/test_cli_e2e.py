@@ -213,6 +213,99 @@ def test_train_resume_from_snapshot(tiny_zip, trained_run, tmp_path):
     assert not np.array_equal(a, b)
     assert np.abs(a - b).mean() < 0.1 * np.abs(a).mean() + 0.05
 
+def test_adapt_cli(tmp_path):
+    # One-shot adaptation entry point (reference SimilarDomains/main.py:9-27
+    # equivalent): YAML config -> td_single trainer -> a few steps -> losses
+    # jsonl + adaptation checkpoint.  Runs offline: byte-fallback tokenizer,
+    # random tiny CLIP, demo-mode generator.
+    import yaml
+
+    from gagan_tpu.cli import adapt as adapt_cli
+
+    cfg = {
+        "exp": {"trainer": "td_single", "name": "t", "seed": 0,
+                "root": str(tmp_path / "adapt_runs")},
+        "training": {
+            "img_resolution": 32,
+            "generator_args": {"z_dim": 32, "w_dim": 32,
+                               "channel_base": 1024, "channel_max": 64,
+                               "num_mapping_layers": 2},
+            "batch_size": 2, "iter_num": 4,
+            "source_class": "Photo", "target_class": "Sketch",
+            "patch_key": "s_delta",
+            "visual_encoders": ["ViT-B/32"],
+            "clip_config_overrides": {
+                "image_resolution": 32, "vision_layers": 2,
+                "vision_width": 64, "vision_patch_size": 8,
+                "transformer_width": 32, "transformer_layers": 2,
+                "transformer_heads": 4, "embed_dim": 32},
+        },
+        "optimization_setup": {"lr": 0.002, "loss_funcs": ["direction"],
+                               "loss_coefs": [1.0]},
+        "logging": {"log_every": 1},
+        "checkpointing": {"step_backup": 2},
+    }
+    cfg_path = str(tmp_path / "tiny_nada.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = CliRunner()
+    result = runner.invoke(adapt_cli.main, [
+        "--config", cfg_path, "training.target_class=Anime Painting",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+
+    outdir = str(tmp_path / "adapt_runs" / "t")
+    files = os.listdir(outdir)
+    assert "config.yaml" in files and "losses.jsonl" in files
+    # Dotlist override reached the saved config.
+    import yaml as _y
+
+    with open(os.path.join(outdir, "config.yaml")) as f:
+        saved = _y.safe_load(f)
+    assert saved["training"]["target_class"] == "Anime Painting"
+    ckpts = sorted(f for f in files if f.startswith("adaptation-"))
+    assert ckpts, files
+    with open(os.path.join(outdir, "losses.jsonl")) as f:
+        lines = [json.loads(line) for line in f]
+    assert len(lines) == 4 and all(np.isfinite(x["total"]) for x in lines)
+
+    # The checkpoint round-trips through the loader.
+    from gagan_tpu.utils import checkpoint as ckpt
+
+    meta, offsets, sg2_config = ckpt.load_adaptation(
+        os.path.join(outdir, ckpts[-1]))
+    assert meta["parametrization"] == "s_delta"
+    assert sg2_config["img_resolution"] == 32
+
+
+def test_calc_metrics_cli(trained_run, tiny_zip, tmp_path):
+    # calc_metrics CLI on a snapshot (DissimilarDomains/calc_metrics.py:120):
+    # parametric fid<N>k path, random-tower warning, jsonl report.
+    import glob
+
+    from gagan_tpu.cli import calc_metrics as cm_cli
+
+    snaps = sorted(glob.glob(os.path.join(trained_run, "**",
+                                          "network-snapshot-*.npz"),
+                             recursive=True))
+    assert snaps
+    runner = CliRunner()
+    result = runner.invoke(cm_cli.main, [
+        "--network", snaps[-1], "--metrics", "fid1k", "--data", tiny_zip,
+        "--batch", "8", "--cache-dir", str(tmp_path / "cache"),
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "RANDOM towers" in result.output
+
+    run_dir = os.path.dirname(snaps[-1])
+    report = os.path.join(run_dir, "metric-fid1k.jsonl")
+    assert os.path.exists(report)
+    with open(report) as f:
+        rec = json.loads(f.readlines()[-1])
+    assert np.isfinite(rec["results"]["fid1k"])
+
+
 def test_projector_cli(trained_run, tmp_path):
     # Mirrors the reference projector.py run_projection driver: project a
     # target image into w-space and replay the latents through generate
@@ -254,3 +347,19 @@ def test_projector_cli(trained_run, tmp_path):
     ], catch_exceptions=False)
     assert result.exit_code == 0, result.output
     assert os.listdir(gen_out) == ["proj00.png"]
+
+    # z-space with --save-all-steps: trajectory latents are z vectors —
+    # saved under key 'z' and mapped through the mapping network before
+    # frame synthesis (regression: frames used to skip the mapping).
+    outdir_z = str(tmp_path / "proj_z")
+    result = runner.invoke(proj_cli.main, [
+        "--network", snaps[-1], "--target", target, "--outdir", outdir_z,
+        "--space", "z", "--num-steps", "4", "--save-all-steps",
+        "--save-n", "2",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    steps = np.load(os.path.join(outdir_z, "target_steps.npz"))
+    assert steps.files == ["z"]
+    assert steps["z"].shape[0] == 4
+    frames = sorted(os.listdir(os.path.join(outdir_z, "target_steps")))
+    assert frames == ["step00000.png", "step00002.png"]
