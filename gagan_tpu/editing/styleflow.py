@@ -6,9 +6,13 @@ conditional ODE function (`odefunc.py:104-141`), the CNF/SequentialFlow
 integration chain with MovingBatchNorm (`cnf.py:9-100`, `flow.py:43-77`) and
 the attribute editor (`editor.py:9-93`).
 
-TPU-native solver: torchdiffeq's adaptive dopri5 + adjoint becomes a
-fixed-grid RK4 under `lax.scan` — static step count, fully jittable, and for
-inference-time editing (no log-det needed) the divergence term is dropped.
+TPU-native solvers: the reference integrates with torchdiffeq's adaptive
+dopri5 (atol=rtol=1e-5, `cnf.py:34-36`).  The default here is an embedded
+Dormand-Prince RK45 with PI step control under `lax.while_loop` — jittable,
+matching the reference's solver family and tolerances; `solver="rk4"` keeps
+the fixed-grid `lax.scan` path (reverse-differentiable, static cost).  For
+inference-time editing (no log-det needed) the divergence state is dropped —
+it never feeds back into dy/dt (`odefunc.py:128-133`).
 """
 
 from __future__ import annotations
@@ -29,7 +33,13 @@ class StyleFlowConfig:
     hidden_dims: Tuple[int, ...] = (512, 512, 512, 512, 512)
     context_dim: int = 17              # 9 lighting + 8 attributes
     num_blocks: int = 1
+    # "dopri5": adaptive RK45, reference solver family/tolerances
+    # (cnf.py:34-36); "rk4": fixed-grid scan (differentiable, static cost).
+    solver: str = "dopri5"
     rk4_steps: int = 40
+    atol: float = 1e-5
+    rtol: float = 1e-5
+    max_steps: int = 1000              # adaptive-solver iteration bound
 
 
 def _concat_squash(p: Params, context: jax.Array, x: jax.Array) -> jax.Array:
@@ -60,23 +70,125 @@ def _odenet(p: Params, cfg: StyleFlowConfig, t, context, x):
 
 def _moving_bn(p: Params, x: jax.Array, reverse: bool,
                eps: float = 1e-4) -> jax.Array:
-    """MovingBatchNorm1d at inference (normalization.py): running stats."""
+    """MovingBatchNorm1d at inference (normalization.py:78-104): running
+    stats plus the affine transform y*exp(weight)+bias (the reference builds
+    with affine=True; trained checkpoints carry nonzero weight/bias)."""
     mean = p["running_mean"]
     var = p["running_var"]
+    weight = p.get("weight")
+    bias = p.get("bias")
     if not reverse:
-        return (x - mean) * jax.lax.rsqrt(var + eps)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        if weight is not None:
+            y = y * jnp.exp(weight) + bias
+        return y
+    if weight is not None:
+        x = (x - bias) * jnp.exp(-weight)
     return x * jnp.sqrt(var + eps) + mean
+
+
+# Dormand-Prince 5(4) tableau (the dopri5 method torchdiffeq implements).
+_DP_C = (0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0)
+_DP_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+    (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84),
+)
+_DP_B5 = (35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0)
+_DP_B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+          187 / 2100, 1 / 40)
+
+
+def _dopri5(f, y0: jax.Array, t0, t1, rtol: float, atol: float,
+            max_steps: int) -> jax.Array:
+    """Adaptive RK45 with PI-free standard step control (safety 0.9,
+    growth clamp [0.2, 10], order-5 exponent) — the controller family
+    torchdiffeq's dopri5 uses.  Integrates y' = f(t, y) from t0 to t1
+    (either direction) under lax.while_loop; the last step clamps onto t1.
+    """
+
+    def err_norm(err, y_a, y_b):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y_a), jnp.abs(y_b))
+        return jnp.sqrt(jnp.mean(jnp.square(err / scale)))
+
+    direction = jnp.sign(t1 - t0)
+    span = jnp.abs(t1 - t0)
+
+    # Hairer-style initial step selection (torchdiffeq _select_initial_step).
+    f0 = f(t0, y0)
+    scale = atol + rtol * jnp.abs(y0)
+    d0 = jnp.sqrt(jnp.mean(jnp.square(y0 / scale)))
+    d1 = jnp.sqrt(jnp.mean(jnp.square(f0 / scale)))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = y0 + h0 * direction * f0
+    f1 = f(t0 + h0 * direction, y1)
+    d2 = jnp.sqrt(jnp.mean(jnp.square((f1 - f0) / scale))) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15, jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / dmax) ** 0.2)
+    h_init = jnp.minimum(jnp.minimum(100 * h0, h1), span)
+
+    def cond(state):
+        t, y, h, steps = state
+        return (jnp.abs(t - t0) < span) & (steps < max_steps)
+
+    def body(state):
+        t, y, h, steps = state
+        # Clamp the step onto the endpoint.
+        h = jnp.minimum(h, span - jnp.abs(t - t0))
+        hs = h * direction
+
+        ks = []
+        for i in range(7):
+            yi = y
+            for j, a in enumerate(_DP_A[i]):
+                if a != 0.0:
+                    yi = yi + hs * a * ks[j]
+            ks.append(f(t + _DP_C[i] * hs, yi))
+
+        y5 = y
+        for b, k in zip(_DP_B5, ks):
+            if b != 0.0:
+                y5 = y5 + hs * b * k
+        y4 = y
+        for b, k in zip(_DP_B4, ks):
+            if b != 0.0:
+                y4 = y4 + hs * b * k
+
+        err = err_norm(y5 - y4, y, y5)
+        accept = err <= 1.0
+        factor = jnp.clip(0.9 * (jnp.maximum(err, 1e-10)) ** -0.2, 0.2, 10.0)
+        h_next = jnp.maximum(h * factor, 1e-8)
+        t = jnp.where(accept, t + hs, t)
+        y = jnp.where(accept, y5, y)
+        return t, y, h_next, steps + 1
+
+    _, y, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(t0, y0.dtype), y0, h_init,
+                     jnp.asarray(0, jnp.int32)))
+    return y
 
 
 def _cnf_integrate(p: Params, cfg: StyleFlowConfig, x, context,
                    reverse: bool) -> jax.Array:
-    """Fixed-grid RK4 over t in [0, sqrt_end_time^2] (cnf.py:57-100)."""
+    """Integrate over t in [0, sqrt_end_time^2] (cnf.py:57-100), flipped
+    when ``reverse``; solver per StyleFlowConfig.solver."""
     T = jnp.square(p["sqrt_end_time"]).reshape(())
-    h = T / cfg.rk4_steps * (1.0 if not reverse else -1.0)
-    t0 = jnp.where(reverse, T, 0.0)
 
     def f(t, y):
         return _odenet(p["odefunc"]["diffeq"], cfg, t, context, y)
+
+    if cfg.solver == "dopri5":
+        t0 = jnp.where(reverse, T, 0.0)
+        t1 = jnp.where(reverse, 0.0, T)
+        return _dopri5(f, x, t0, t1, cfg.rtol, cfg.atol, cfg.max_steps)
+
+    h = T / cfg.rk4_steps * (1.0 if not reverse else -1.0)
+    t0 = jnp.where(reverse, T, 0.0)
 
     def rk4_step(carry, i):
         y, t = carry
@@ -135,9 +247,52 @@ def init_styleflow(key, cfg: StyleFlowConfig) -> Params:
             "sqrt_end_time": jnp.ones(()),
         }
     bns = {str(i): {"running_mean": jnp.zeros((cfg.input_dim,)),
-                    "running_var": jnp.ones((cfg.input_dim,))}
+                    "running_var": jnp.ones((cfg.input_dim,)),
+                    # affine=True with zero init (normalization.py:36-38).
+                    "weight": jnp.zeros((cfg.input_dim,)),
+                    "bias": jnp.zeros((cfg.input_dim,))}
            for i in range(cfg.num_blocks + 1)}
     return {"cnf": cnf_blocks, "bn": bns}
+
+
+def torch_state_to_tree(state_dict, cfg: StyleFlowConfig) -> Params:
+    """Convert a reference StyleFlow torch state_dict (the SequentialFlow
+    built by `flow.py:43-77`: chain = [bn0, cnf0, bn1, cnf1, ...]) to this
+    module's pytree layout.  Accepts tensors or ndarrays."""
+    sd = {k: np.asarray(getattr(v, "detach", lambda: v)())
+          for k, v in state_dict.items()}
+    n_layers = len(cfg.hidden_dims) + 1
+
+    def bn_tree(chain_idx):
+        prefix = f"chain.{chain_idx}."
+        out = {"running_mean": sd[prefix + "running_mean"],
+               "running_var": sd[prefix + "running_var"]}
+        if prefix + "weight" in sd:
+            out["weight"] = sd[prefix + "weight"]
+            out["bias"] = sd[prefix + "bias"]
+        return out
+
+    def cnf_tree(chain_idx):
+        prefix = f"chain.{chain_idx}."
+        layers = {}
+        for i in range(n_layers):
+            lp = prefix + f"odefunc.diffeq.layers.{i}."
+            layers[str(i)] = {
+                "_layer": {"weight": sd[lp + "_layer.weight"],
+                           "bias": sd[lp + "_layer.bias"]},
+                "_hyper_bias": {"weight": sd[lp + "_hyper_bias.weight"]},
+                "_hyper_gate": {"weight": sd[lp + "_hyper_gate.weight"],
+                                "bias": sd[lp + "_hyper_gate.bias"]},
+            }
+        return {"odefunc": {"diffeq": {"layers": layers}},
+                "sqrt_end_time": sd[prefix + "sqrt_end_time"].reshape(())}
+
+    # flow.py:66-73: chain starts with one bn, then alternates cnf, bn.
+    cnf_blocks = {str(b): cnf_tree(2 * b + 1) for b in range(cfg.num_blocks)}
+    bns = {"0": bn_tree(0)}
+    for b in range(cfg.num_blocks):
+        bns[str(b + 1)] = bn_tree(2 * b + 2)
+    return jax.tree.map(jnp.asarray, {"cnf": cnf_blocks, "bn": bns})
 
 
 # ----------------------------------------------------------------------------

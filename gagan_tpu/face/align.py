@@ -189,29 +189,19 @@ def warp_and_crop_face(src_img: np.ndarray, facial_pts,
     return face, tfm
 
 
-def align_face(img, landmarks: np.ndarray, output_size: int = 1024,
-               transform_size: int = 4096, enable_padding: bool = True):
-    """FFHQ alignment from 68 landmarks (common.py:251-333).
+def ffhq_quad(eye_left, eye_right, mouth_left, mouth_right):
+    """FFHQ crop quad from eye centers + mouth corners (common.py:258-268).
 
-    ``img``: PIL.Image or uint8 HWC array.  ``landmarks``: [68, 2] (x, y)
-    in the dlib 68-point layout.  Unlike the reference this does not run
-    dlib itself — pass landmarks from any detector.
-    """
-    import PIL.Image
-    import scipy.ndimage
-
-    if not hasattr(img, "size"):
-        img = PIL.Image.fromarray(np.asarray(img, np.uint8))
-
-    lm = np.asarray(landmarks, np.float64)
-    lm_eye_left, lm_eye_right = lm[36:42], lm[42:48]
-    lm_mouth_outer = lm[48:60]
-
-    eye_left = lm_eye_left.mean(axis=0)
-    eye_right = lm_eye_right.mean(axis=0)
+    The 68-landmark recipe only consumes these four points (eye means and
+    outer-mouth corners 48/54), so the quad is computable from any 5-point
+    detector (MTCNN ONet's eye points approximate the 6-point eye means).
+    Returns (quad [4, 2], qsize)."""
+    eye_left = np.asarray(eye_left, np.float64)
+    eye_right = np.asarray(eye_right, np.float64)
     eye_avg = (eye_left + eye_right) * 0.5
     eye_to_eye = eye_right - eye_left
-    mouth_avg = (lm_mouth_outer[0] + lm_mouth_outer[6]) * 0.5
+    mouth_avg = (np.asarray(mouth_left, np.float64)
+                 + np.asarray(mouth_right, np.float64)) * 0.5
     eye_to_mouth = mouth_avg - eye_avg
 
     x = eye_to_eye - np.flipud(eye_to_mouth) * [-1, 1]
@@ -221,6 +211,32 @@ def align_face(img, landmarks: np.ndarray, output_size: int = 1024,
     c = eye_avg + eye_to_mouth * 0.1
     quad = np.stack([c - x - y, c - x + y, c + x + y, c + x - y])
     qsize = np.hypot(*x) * 2
+    return quad, qsize
+
+
+def align_face(img, landmarks: np.ndarray, output_size: int = 1024,
+               transform_size: int = 4096, enable_padding: bool = True):
+    """FFHQ alignment from 68 landmarks (common.py:251-333).
+
+    ``img``: PIL.Image or uint8 HWC array.  ``landmarks``: [68, 2] (x, y)
+    in the dlib 68-point layout (or [5, 2] in the MTCNN order — left eye,
+    right eye, nose, left mouth, right mouth — see ``align_face_5p``).
+    Unlike the reference this does not run dlib itself — pass landmarks
+    from any detector, or use ``align_face_auto`` (in-house MTCNN).
+    """
+    import PIL.Image
+    import scipy.ndimage
+
+    if not hasattr(img, "size"):
+        img = PIL.Image.fromarray(np.asarray(img, np.uint8))
+
+    lm = np.asarray(landmarks, np.float64)
+    if lm.shape[0] == 5:
+        quad, qsize = ffhq_quad(lm[0], lm[1], lm[3], lm[4])
+    else:
+        eye_left = lm[36:42].mean(axis=0)
+        eye_right = lm[42:48].mean(axis=0)
+        quad, qsize = ffhq_quad(eye_left, eye_right, lm[48], lm[54])
 
     lanczos = getattr(PIL.Image, "Resampling", PIL.Image).LANCZOS
 
@@ -271,3 +287,43 @@ def align_face(img, landmarks: np.ndarray, output_size: int = 1024,
     if output_size < transform_size:
         img = img.resize((output_size, output_size), lanczos)
     return img
+
+
+def align_face_5p(img, landmarks5: np.ndarray, output_size: int = 1024,
+                  transform_size: int = 4096, enable_padding: bool = True):
+    """FFHQ alignment from 5-point landmarks (MTCNN order: left eye,
+    right eye, nose, left mouth corner, right mouth corner)."""
+    return align_face(img, np.asarray(landmarks5, np.float64),
+                      output_size=output_size, transform_size=transform_size,
+                      enable_padding=enable_padding)
+
+
+def align_face_auto(img, output_size: int = 1024, transform_size: int = 4096,
+                    enable_padding: bool = True, mtcnn=None):
+    """End-to-end image -> FFHQ-aligned face with no external landmark file.
+
+    Replaces the reference's dlib 68-point predictor (common.py:251-268)
+    with the in-house MTCNN cascade: the highest-confidence detection's
+    ONet 5-point landmarks drive the FFHQ quad (the 68-point recipe only
+    uses eye centers + mouth corners, which ONet provides).  Real
+    behavior needs converted MTCNN weights (GAGAN_MTCNN_DIR); with random
+    weights the cascade runs but detections are meaningless.
+
+    Returns the aligned PIL image, or None when no face is detected.
+    """
+    import PIL.Image
+
+    from gagan_tpu.face.mtcnn import MTCNN
+
+    if not hasattr(img, "size"):
+        img = PIL.Image.fromarray(np.asarray(img, np.uint8))
+    if mtcnn is None:
+        mtcnn = MTCNN()
+    boxes, landmarks = mtcnn.detect_faces(img)
+    if len(boxes) == 0:
+        return None
+    best = int(np.argmax(boxes[:, 4]))
+    pts = np.stack([landmarks[best][:5], landmarks[best][5:]], axis=1)
+    return align_face_5p(img, pts, output_size=output_size,
+                         transform_size=transform_size,
+                         enable_padding=enable_padding)

@@ -11,6 +11,10 @@ from click.testing import CliRunner
 
 from gagan_tpu.data import dataset_tool
 
+# Cold-compile e2e runs (tiny ADA trainings + CLIs) dominate full-suite wall
+# time; keep them out of the default parity core (`pytest -m "not slow"`).
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_zip(tmp_path_factory):

@@ -163,3 +163,60 @@ def test_detect_faces_pipeline_runs():
     # align() on a no-face image returns (None, None) or a valid crop.
     face, tfm = det.align(img)
     assert (face is None) == (tfm is None)
+
+
+def test_align_face_5p_matches_68p():
+    # The 5-point path must reproduce the 68-point alignment when the five
+    # points are the quantities the 68-point recipe reduces to (eye means +
+    # mouth corners, common.py:258-268).
+    import PIL.Image
+
+    rng = np.random.RandomState(7)
+    img = PIL.Image.fromarray((rng.rand(256, 256, 3) * 255).astype(np.uint8))
+    lm = np.zeros((68, 2))
+    lm[36:42] = [100, 110] + rng.randn(6, 2)
+    lm[42:48] = [156, 110] + rng.randn(6, 2)
+    lm[27:36] = [128, 135] + rng.randn(9, 2)
+    lm[48:60] = [128, 165] + rng.randn(12, 2)
+    lm[48] = [105, 165]
+    lm[54] = [151, 165]
+    out68 = fa.align_face(img, lm, output_size=64, transform_size=256)
+
+    lm5 = np.stack([lm[36:42].mean(axis=0), lm[42:48].mean(axis=0),
+                    lm[27:36].mean(axis=0), lm[48], lm[54]])
+    out5 = fa.align_face_5p(img, lm5, output_size=64, transform_size=256)
+    np.testing.assert_array_equal(np.asarray(out68), np.asarray(out5))
+
+
+def test_align_face_auto_from_mtcnn_landmarks():
+    # align_face_auto drives the FFHQ quad from the best MTCNN detection's
+    # ONet 5-point output (x0..x4, y0..y4 layout) with no landmark file.
+    import PIL.Image
+
+    rng = np.random.RandomState(8)
+    img = PIL.Image.fromarray((rng.rand(256, 256, 3) * 255).astype(np.uint8))
+
+    class FakeMTCNN:
+        def detect_faces(self, image, **kw):
+            boxes = np.array([[60, 80, 200, 210, 0.4],
+                              [60, 80, 200, 210, 0.99]])
+            lms = np.array([[0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                            [100.0, 156, 128, 105, 151,
+                             110.0, 110, 135, 165, 165]])
+            return boxes, lms
+
+    out = fa.align_face_auto(img, output_size=64, transform_size=256,
+                             mtcnn=FakeMTCNN())
+    assert out is not None and out.size == (64, 64)
+
+    want = fa.align_face_5p(
+        img, np.array([[100, 110], [156, 110], [128, 135],
+                       [105, 165], [151, 165]], dtype=np.float64),
+        output_size=64, transform_size=256)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+    class NoFace:
+        def detect_faces(self, image, **kw):
+            return np.zeros((0, 5)), np.zeros((0, 10))
+
+    assert fa.align_face_auto(img, mtcnn=NoFace()) is None
