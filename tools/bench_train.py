@@ -26,7 +26,8 @@ import jax.numpy as jnp
 def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           packed: bool, accum: int = 1, reg_accum: int = 1,
           g_reg_accum: int = None, d_reg_accum: int = None,
-          reg_remat: bool = False, packed_blocks: int = 1):
+          reg_remat: bool = False, packed_blocks: int = 1,
+          fp16_res: int = 4, reuse_fakes: bool = False):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -36,13 +37,13 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
         mapping=sg2.MappingConfig(num_layers=8),
         synthesis=sg2.SynthesisConfig(
             channel_base=int(fmaps * 32768), channel_max=512,
-            num_fp16_res=4, conv_clamp=256,
+            num_fp16_res=fp16_res, conv_clamp=256,
             packed_last_block=packed and res >= 64,
             packed_tail_blocks=packed_blocks,
             remat=remat))
     d_cfg = sg2.DiscriminatorConfig(
         img_resolution=res, channel_base=int(fmaps * 32768), channel_max=512,
-        num_fp16_res=4, conv_clamp=256,
+        num_fp16_res=fp16_res, conv_clamp=256,
         mbstd_group_size=min(batch, 4),
         packed_first_block=packed and res >= 64, remat=remat)
     cfg = ts.TrainConfig(
@@ -102,6 +103,8 @@ def main():
     ap.add_argument("--reg-remat", action="store_true",
                     help="remat only the R1 phase (use with --no-remat)")
     ap.add_argument("--packed-blocks", type=int, default=1)
+    ap.add_argument("--fp16-res", type=int, default=4,
+                    help="bf16 for the N highest resolutions (9 = all)")
     args = ap.parse_args()
 
     steps, state = build(args.res, args.batch, args.aug, args.fmaps,
@@ -111,7 +114,8 @@ def main():
                          g_reg_accum=args.g_reg_accum,
                          d_reg_accum=args.d_reg_accum,
                          reg_remat=args.reg_remat,
-                         packed_blocks=args.packed_blocks)
+                         packed_blocks=args.packed_blocks,
+                         fp16_res=args.fp16_res)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
