@@ -83,6 +83,14 @@ class AugmentConfig:
     # halving the bytes roughly halves its cost.  None (default) keeps the
     # input dtype; parity tests rely on the default.
     compute_dtype: Optional[str] = None
+    # Geometric-warp execution:  "auto" = exact 2x-FIR-pyramid grid-sample
+    # eagerly, gather-free native-resolution warp under jit; "fast" = the
+    # gather-free warp always; "exact" = the reference pyramid always,
+    # including under jit (a full-width static reflect margin replaces the
+    # data-dependent one — bit-exact within it, but the gather runs on the
+    # TPU scalar core: ~10x slower; for parity runs that must match
+    # augment.py:338-370 under jit).
+    geom_mode: str = "auto"
 
 
 # Preset table mirroring train.py augpipe_specs (train.py:357-370).
@@ -352,7 +360,9 @@ def augment_pipe(
                                         (batch,))
 
     # ----- Execute geometric transformations (augment.py:338-370) -----
-    if geometric and isinstance(images, jax.core.Tracer):
+    use_fast = cfg.geom_mode == "fast" or (
+        cfg.geom_mode == "auto" and isinstance(images, jax.core.Tracer))
+    if geometric and use_fast:
         # jit fast path: gather-free separable warp at NATIVE resolution
         # (gagan_tpu.train.warp).  Two deliberate deviations from the
         # reference, both jit-only (the eager path below is exact):
@@ -394,8 +404,15 @@ def augment_pipe(
         margin = jnp.clip(margin, 0, None)
         margin = jnp.minimum(margin, jnp.asarray(
             [width - 1, height - 1] * 2, jnp.float32))
-        mx0, my0, mx1, my1 = [int(v) for v in np.ceil(np.asarray(
-            jax.lax.stop_gradient(margin)))]
+        if isinstance(images, jax.core.Tracer):
+            # geom_mode == "exact" under jit: the data-dependent margin
+            # cannot become a static pad width — use its clip bound (the
+            # reference's own maximum), trading memory for exactness.
+            mx0 = mx1 = width - 1
+            my0 = my1 = height - 1
+        else:
+            mx0, my0, mx1, my1 = [int(v) for v in np.ceil(np.asarray(
+                jax.lax.stop_gradient(margin)))]
         images = jnp.pad(images, ((0, 0), (0, 0), (my0, my1), (mx0, mx1)),
                          mode="reflect")
         G_inv = translate2d((mx0 - mx1) / 2, (my0 - my1) / 2) @ G_inv

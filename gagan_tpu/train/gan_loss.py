@@ -207,6 +207,68 @@ def d_main_loss(
     return loss_Dgen + loss_Dreal, metrics
 
 
+def gd_main_loss(
+    cfg: GANLossConfig,
+    g_cfg: sg2.GeneratorConfig,
+    d_cfg: sg2.DiscriminatorConfig,
+    g_params: Params,
+    d_params: Params,
+    real_img: jax.Array,
+    real_c: Optional[jax.Array],
+    z: jax.Array,
+    gen_c: Optional[jax.Array],
+    key: jax.Array,
+    augment_fn: AugmentFn = None,
+    ada_p: Optional[jax.Array] = None,
+    hooks=None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Gmain + Dmain as ONE scalar loss over a SHARED forward.
+
+    Returns loss_g + loss_d where loss_g sees stop_gradient(d_params) and
+    loss_d sees stop_gradient(fakes): differentiating the sum w.r.t.
+    (g_params, d_params) yields exactly the per-phase gradients, while the
+    G forward, the augmented D(fake) forward and the augment draw are
+    computed once (the two D(fake) forwards trace to identical HLO and CSE
+    into one).  Deliberate deviations from the reference's alternating
+    phase schedule (training_loop.py:460-516), traded for ~20% step time:
+
+      * D's gradient uses fakes from the PRE-update G (the reference
+        updates G first, then regenerates fakes from the updated G);
+      * G-loss and D-loss share one fake sample and one augment parameter
+        draw per image (the reference draws each phase independently).
+
+    Both are the standard "simultaneous" GAN update; disable via
+    TrainConfig.simultaneous_main for reference semantics.
+    """
+    k_g, k_aug1, k_aug2 = jax.random.split(key, 3)
+    gen_img, gen_ws = run_G(g_cfg, g_params, z, gen_c, k_g,
+                            cfg.style_mixing_prob, hooks=hooks)
+
+    # G route: D applied with frozen d_params (same forward HLO).
+    d_frozen = jax.lax.stop_gradient(d_params)
+    gen_logits_g = run_D(d_cfg, d_frozen, gen_img, gen_c, augment_fn, ada_p,
+                         k_aug1)
+    loss_g = jnp.mean(softplus(-gen_logits_g))
+
+    # D route: same fake image, detached (loss.py:115-124 semantics).
+    gen_logits_d = run_D(d_cfg, d_params, jax.lax.stop_gradient(gen_img),
+                         gen_c, augment_fn, ada_p, k_aug1)
+    real_logits = run_D(d_cfg, d_params, real_img, real_c, augment_fn,
+                        ada_p, k_aug2)
+    loss_d = jnp.mean(softplus(gen_logits_d)) + jnp.mean(softplus(-real_logits))
+
+    metrics = {
+        "Loss/scores/fake": jnp.mean(gen_logits_d),
+        "Loss/signs/fake": jnp.mean(jnp.sign(gen_logits_d)),
+        "Loss/scores/real": jnp.mean(real_logits),
+        "Loss/signs/real": jnp.mean(jnp.sign(real_logits)),
+        "Loss/G/loss": loss_g,
+        "Loss/D/loss": loss_d,
+        "aux/mean_w": jnp.mean(gen_ws[:, 0].astype(jnp.float32), axis=0),
+    }
+    return loss_g + loss_d, metrics
+
+
 def d_r1_loss(
     cfg: GANLossConfig,
     d_cfg: sg2.DiscriminatorConfig,

@@ -82,6 +82,11 @@ class TrainConfig:
     # identical; unrolling lets XLA specialize per round and is fine for
     # 2-3 rounds.
     accum_scan: bool = True
+    # Run Gmain+Dmain as one simultaneous update over a shared forward
+    # (gan_loss.gd_main_loss): ~20% faster at 1024² on TPU.  Deviation from
+    # the reference's alternating schedule — see gd_main_loss's docstring;
+    # set False for reference phase semantics.
+    simultaneous_main: bool = False
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -328,6 +333,51 @@ def make_phase_steps(
         pl_mean = metrics.pop("aux/pl_mean")
         return state.replace(pl_mean=pl_mean), metrics
 
+    def gd_main_step(state: TrainState, real_img, real_c, z, gen_c, key):
+        """Simultaneous Gmain+Dmain over one shared forward
+        (gan_loss.gd_main_loss; enabled by cfg.simultaneous_main)."""
+        def run_round(r, k):
+            def loss_fn(g_params, offsets, d_params):
+                return gan_loss.gd_main_loss(
+                    lcfg, g_cfg, d_cfg, g_params, d_params,
+                    _chunk(real_img, main_rounds, r),
+                    _chunk(real_c, main_rounds, r),
+                    _chunk(z, main_rounds, r), _chunk(gen_c, main_rounds, r),
+                    k, augment_fn=augment_fn, ada_p=state.ada_p,
+                    hooks=make_hooks(offsets))
+
+            return jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
+                                      has_aux=True)(
+                state.g_params, state.offsets, state.d_params)
+
+        (_, metrics), grads = _accum(run_round, main_rounds, key,
+                                     scan=cfg.accum_scan)
+        g_grads, o_grads, d_grads = grads
+        updates, g_opt_state = g_tx.update(_scrub(g_grads),
+                                           state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, updates)
+        d_updates, d_opt_state = d_tx.update(_scrub(d_grads),
+                                             state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        state = state.replace(g_params=g_params, g_opt_state=g_opt_state,
+                              d_params=d_params, d_opt_state=d_opt_state)
+        if offsets_tx is not None:
+            o_updates, o_opt_state = offsets_tx.update(
+                _scrub(o_grads), state.offsets_opt_state, state.offsets)
+            state = state.replace(
+                offsets=optax.apply_updates(state.offsets, o_updates),
+                offsets_opt_state=o_opt_state)
+        g_params = state.g_params
+        if g_cfg.mapping.w_avg_beta is not None:
+            beta = g_cfg.mapping.w_avg_beta
+            w_avg = g_params["mapping"]["w_avg"]
+            mean_w = metrics.pop("aux/mean_w")
+            g_params["mapping"]["w_avg"] = mean_w + beta * (w_avg - mean_w)
+            state = state.replace(g_params=g_params)
+        else:
+            metrics.pop("aux/mean_w", None)
+        return state, metrics
+
     def d_main_step(state: TrainState, real_img, real_c, z, gen_c, key):
         def run_round(r, k):
             def loss_fn(d_params):
@@ -368,7 +418,7 @@ def make_phase_steps(
         d_params = optax.apply_updates(state.d_params, updates)
         return state.replace(d_params=d_params, d_opt_state=d_opt_state), metrics
 
-    return g_main_step, g_reg_step, d_main_step, d_reg_step
+    return g_main_step, g_reg_step, d_main_step, d_reg_step, gd_main_step
 
 
 def make_fused_step(
@@ -390,7 +440,7 @@ def make_fused_step(
     The reg flags are static so the scheduler gets at most four compiled
     variants; `cur_nimg` advances by cfg.batch_size (the global batch).
     """
-    g_main, g_reg, d_main, d_reg = make_phase_steps(
+    g_main, g_reg, d_main, d_reg, gd_main = make_phase_steps(
         cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn,
         offsets_spec=offsets_spec, offsets_tx=offsets_tx,
         reg_g_cfg=reg_g_cfg, reg_d_cfg=reg_d_cfg)
@@ -398,6 +448,29 @@ def make_fused_step(
     def step(state: TrainState, real_img, real_c, z, gen_c, key):
         keys = jax.random.split(key, 4)
         metrics: Dict[str, jax.Array] = {}
+        if cfg.simultaneous_main:
+            state, m = gd_main(state, real_img, real_c, z, gen_c, keys[0])
+            metrics.update(m)
+            if do_g_reg and cfg.g_reg_interval is not None:
+                state, m = g_reg(state, z, gen_c, keys[1])
+                metrics.update(m)
+            if do_d_reg and cfg.d_reg_interval is not None:
+                state, m = d_reg(state, real_img, real_c, keys[3])
+                metrics.update(m)
+            cur_nimg = state.cur_nimg + cfg.batch_size
+            g_ema = ema_update(state.g_params, state.g_ema, cur_nimg, cfg)
+            state = state.replace(g_ema=g_ema, cur_nimg=cur_nimg)
+            if state.offsets is not None and state.offsets_ema is not None:
+                ema_nimg = cfg.ema_kimg * 1000.0
+                if cfg.ema_rampup is not None:
+                    ema_nimg = jnp.minimum(
+                        ema_nimg,
+                        cur_nimg.astype(jnp.float32) * cfg.ema_rampup)
+                beta = 0.5 ** (cfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
+                state = state.replace(offsets_ema=jax.tree.map(
+                    lambda p, e: p + beta * (e - p), state.offsets,
+                    state.offsets_ema))
+            return state, metrics
         state, m = g_main(state, z, gen_c, keys[0])
         metrics.update(m)
         if do_g_reg and cfg.g_reg_interval is not None:

@@ -111,3 +111,42 @@ def test_jit_fast_path_close_to_eager(q):
         lambda im: aug.augment_pipe(cfg, im, p, key, debug_percentile=q))(img))
     err = np.abs(want - got)[:, :, 16:-16, 16:-16]
     assert err.mean() < 0.04, (q, err.mean())
+
+
+@pytest.mark.parametrize("q", [0.25, 0.75])
+def test_exact_geom_mode_under_jit(q):
+    # geom_mode="exact" must reproduce the eager reference pyramid
+    # bit-for-bit even under jit (static full-width reflect margin replaces
+    # the data-dependent one; sample positions never exceed either).
+    import dataclasses
+
+    cfg = aug.make_config("bgc")
+    exact_cfg = dataclasses.replace(cfg, geom_mode="exact")
+    rng = np.random.RandomState(2)
+    base = jnp.asarray(rng.randn(2, 3, 16, 16).astype(np.float32))
+    img = jax.image.resize(base, (2, 3, 64, 64), "cubic")
+    p = jnp.float32(0.8)
+    key = jax.random.PRNGKey(3)
+    want = np.asarray(aug.augment_pipe(cfg, img, p, key, debug_percentile=q))
+    got = np.asarray(jax.jit(lambda im: aug.augment_pipe(
+        exact_cfg, im, p, key, debug_percentile=q))(img))
+    # jit reorders float ops; anything beyond reassociation noise fails.
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fast_geom_mode_eagerly():
+    # geom_mode="fast" runs the gather-free warp outside jit too, matching
+    # what the jit auto path computes.
+    import dataclasses
+
+    cfg = aug.make_config("bgc")
+    fast_cfg = dataclasses.replace(cfg, geom_mode="fast")
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.randn(2, 3, 64, 64).astype(np.float32))
+    p = jnp.float32(0.8)
+    key = jax.random.PRNGKey(5)
+    want = np.asarray(jax.jit(lambda im: aug.augment_pipe(
+        cfg, im, p, key, debug_percentile=0.3))(img))
+    got = np.asarray(aug.augment_pipe(fast_cfg, img, p, key,
+                                      debug_percentile=0.3))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -319,7 +319,7 @@ def test_accum_rounds_match_full_batch():
                              accum_scan=scan, loss=lcfg)
         g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
         state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
-        _, _, d_main, _ = ts.make_phase_steps(cfg, g_cfg, d_cfg, g_tx, d_tx)
+        _, _, d_main, _, _ = ts.make_phase_steps(cfg, g_cfg, d_cfg, g_tx, d_tx)
         new_state, metrics = jax.jit(d_main)(state, real, None, z, None, key)
         states.append(new_state)
         assert np.isfinite(float(metrics["Loss/D/loss"]))
@@ -339,8 +339,82 @@ def test_accum_rounds_match_full_batch():
                          loss=lcfg)
     g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
     state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
-    _, g_reg, _, d_reg = ts.make_phase_steps(cfg, g_cfg, d_cfg, g_tx, d_tx)
+    _, g_reg, _, d_reg, _ = ts.make_phase_steps(cfg, g_cfg, d_cfg, g_tx, d_tx)
     state, m1 = jax.jit(g_reg)(state, z, None, key)
     state, m2 = jax.jit(d_reg)(state, real, None, key)
     assert np.isfinite(float(m1["Loss/G/reg"]))
     assert np.isfinite(float(m2["Loss/D/reg"]))
+
+
+def test_gd_main_loss_gradient_routing():
+    # The simultaneous Gmain+Dmain scalar (gan_loss.gd_main_loss) must
+    # yield exactly the per-phase gradients: d/d(g) sees only loss_g
+    # (through frozen D), d/d(d) sees only loss_d (on detached fakes).
+    g_cfg, d_cfg = tiny_configs()
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    lcfg = gan_loss.GANLossConfig(style_mixing_prob=0.9)
+    z = jax.random.normal(jax.random.PRNGKey(2), (4, 32))
+    real = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 16, 16))
+    key = jax.random.PRNGKey(4)
+
+    (_, metrics), (gg, _, gd) = jax.value_and_grad(
+        lambda gp, off, dp: gan_loss.gd_main_loss(
+            lcfg, g_cfg, d_cfg, gp, dp, real, None, z, None, key),
+        argnums=(0, 1, 2), has_aux=True)(g_params, None, d_params)
+
+    # Reconstruct the two phase losses from the same key split / shared
+    # fakes (mirrors gd_main_loss's internal structure).
+    k_g, k_aug1, k_aug2 = jax.random.split(key, 3)
+
+    def loss_g_fn(gp):
+        img, _ = gan_loss.run_G(g_cfg, gp, z, None, k_g, 0.9)
+        return jnp.mean(gan_loss.softplus(
+            -sg2.discriminator_apply(d_cfg, d_params, img, None)))
+
+    def loss_d_fn(dp):
+        img, _ = gan_loss.run_G(g_cfg, g_params, z, None, k_g, 0.9)
+        img = jax.lax.stop_gradient(img)
+        return (jnp.mean(gan_loss.softplus(
+                    sg2.discriminator_apply(d_cfg, dp, img, None)))
+                + jnp.mean(gan_loss.softplus(
+                    -sg2.discriminator_apply(d_cfg, dp, real, None))))
+
+    want_gg = jax.grad(loss_g_fn)(g_params)
+    want_gd = jax.grad(loss_d_fn)(d_params)
+    for got, want in ((gg, want_gg), (gd, want_gd)):
+        for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(got),
+                jax.tree_util.tree_leaves_with_path(want)):
+            assert p1 == p2
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(p1))
+    assert "Loss/G/loss" in metrics and "Loss/D/loss" in metrics
+
+
+def test_simultaneous_fused_step_runs():
+    g_cfg, d_cfg = tiny_configs()
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    cfg = ts.TrainConfig(batch_size=4, accum_rounds=2, ada_target=0.6,
+                         simultaneous_main=True)
+    g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+    state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+    from gagan_tpu.train import augment as aug_lib
+    augment_fn = aug_lib.make_augment_fn(aug_lib.make_config("bgc"))
+    step = jax.jit(ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx,
+                                      augment_fn=augment_fn))
+    z = jax.random.normal(jax.random.PRNGKey(2), (4, 32))
+    real = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 16, 16))
+    state2, metrics = step(state, real, None, z, None, jax.random.PRNGKey(4))
+    assert int(state2.cur_nimg) == 4
+    for name in ("Loss/G/loss", "Loss/D/loss", "Loss/signs/real",
+                 "Loss/pl_penalty", "Loss/r1_penalty"):
+        assert name in metrics, name
+    # Both nets actually moved.
+    g0 = jax.tree.leaves(state.g_params)[0]
+    g1 = jax.tree.leaves(state2.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    d0 = jax.tree.leaves(state.d_params)[0]
+    d1 = jax.tree.leaves(state2.d_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))

@@ -51,7 +51,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
         loss=gan_loss.GANLossConfig(r1_gamma=0.0002 * res * res / batch),
         ada_target=0.6 if aug else None,
         accum_rounds=accum, reg_accum_rounds=reg_accum,
-        g_reg_accum_rounds=g_reg_accum, d_reg_accum_rounds=d_reg_accum)
+        g_reg_accum_rounds=g_reg_accum, d_reg_accum_rounds=d_reg_accum,
+        simultaneous_main=reuse_fakes)
 
     # reg_remat: the hot variants (no d_reg, i.e. 15 of 16 batches) run
     # un-remat'd; the variant containing R1 — whose double-backward peaks
@@ -105,6 +106,8 @@ def main():
     ap.add_argument("--packed-blocks", type=int, default=1)
     ap.add_argument("--fp16-res", type=int, default=4,
                     help="bf16 for the N highest resolutions (9 = all)")
+    ap.add_argument("--simultaneous", action="store_true",
+                    help="shared-forward simultaneous Gmain+Dmain update")
     args = ap.parse_args()
 
     steps, state = build(args.res, args.batch, args.aug, args.fmaps,
@@ -115,7 +118,8 @@ def main():
                          d_reg_accum=args.d_reg_accum,
                          reg_remat=args.reg_remat,
                          packed_blocks=args.packed_blocks,
-                         fp16_res=args.fp16_res)
+                         fp16_res=args.fp16_res,
+                         reuse_fakes=args.simultaneous)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),

@@ -153,7 +153,7 @@ def profile_phases(args, n, cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn,
     from gagan_tpu.train import train_step as ts
 
     # --- full phases ---
-    g_main, g_reg, d_main, d_reg = ts.make_phase_steps(
+    g_main, g_reg, d_main, d_reg, _gd = ts.make_phase_steps(
         cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn)
     t_gm = timeit(jax.jit(g_main), state, z, None, key, n=n,
                   label="Gmain phase")
