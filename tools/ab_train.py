@@ -164,6 +164,12 @@ def main():
     ap.add_argument("--out", default=None, help="write JSON here")
     args = ap.parse_args()
 
+    # Persist compiled executables (the axon-tunnel compile service is slow;
+    # arms share most step variants, and reruns become free).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_gagan_bench"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     data = blob_dataset(args.n_data, args.res, seed=123)
     results = []
     for arm in args.arms.split(","):
