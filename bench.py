@@ -150,8 +150,9 @@ def bench_synthesis():
 
 
 def bench_train():
-    """Fused ADA train step at 1024², global batch 32 (accum 2/2/4),
-    phase-variant remat — the shipping CLI configuration."""
+    """Fused ADA train step at 1024², global batch 32, simultaneous
+    Gmain+Dmain (accum 4/2/4), phase-variant remat — the shipping CLI
+    configuration."""
     import importlib.util
     import os
 
@@ -166,7 +167,8 @@ def bench_train():
     batch = 32
     steps, state = bt.build(
         1024, batch, aug=True, fmaps=1.0, remat=False, packed=True,
-        accum=2, reg_accum=2, g_reg_accum=2, d_reg_accum=4, reg_remat=True)
+        accum=4, reg_accum=2, g_reg_accum=2, d_reg_accum=4, reg_remat=True,
+        reuse_fakes=True)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3), (batch, 3, 1024, 1024))

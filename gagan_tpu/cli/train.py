@@ -154,16 +154,19 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
                 f"{device_batch} (= batch {spec['mb']} / {n_dev} devices)")
         accum_rounds = device_batch // batch_gpu
     elif res >= 1024:
-        # Auto live-batch cap for one 16G v5e chip at 1024²: main phases
-        # fit 16 samples, R1's double-backward fits 8 (measured; batch 32
-        # runs the full ADA step at 74.9 sec/kimg vs 177 at live-batch 4).
+        # Auto live-batch cap for one 16G v5e chip at 1024²: alternating
+        # main phases fit 16 samples, the simultaneous Gmain+Dmain joint
+        # graph and R1's double-backward fit 8 (measured; batch 32 runs
+        # the full ADA step at 55.0 sec/kimg simultaneous / 67.1
+        # alternating vs 177-191 at live-batch 4).
         def rounds_for(cap):
             r = -(-device_batch // cap)
             while device_batch % r:
                 r += 1
             return r
 
-        accum_rounds = rounds_for(16)
+        main_cap = 8 if phase_schedule == "simultaneous" else 16
+        accum_rounds = rounds_for(main_cap)
         g_reg_rounds = rounds_for(16)
         d_reg_rounds = rounds_for(8)
 
@@ -225,7 +228,11 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
     if use_domain_modulation:
         desc += f"-dm-{domain_modulation_parametrization}"
     print(f"Run: {desc}")
-    print(json.dumps({"spec": spec, "parts": g_parts}, indent=2, default=str))
+    print(json.dumps({"spec": spec, "parts": g_parts,
+                      "schedule": phase_schedule,
+                      "accum_rounds": [accum_rounds, g_reg_rounds,
+                                       d_reg_rounds]},
+                     indent=2, default=str))
 
     if dry_run:
         print("Dry run; exiting.")
