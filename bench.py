@@ -70,10 +70,13 @@ def ensure_backend(max_retries: int = 5, cooldown_s: int = 90) -> None:
         os.execv(sys.executable, [sys.executable] + sys.argv)
     # Persist compiled executables: the remote compile service's latency
     # varies 180s..1200s for the same program, so a warm cache is the
-    # difference between a 2-minute and a 40-minute bench.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_gagan_bench"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # difference between a 2-minute and a 40-minute bench.  TPU-only:
+    # XLA:CPU cache entries embed the build host's CPU features and this
+    # VM migrates between hosts — loading a stale entry can SIGILL.
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_gagan_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 @contextlib.contextmanager

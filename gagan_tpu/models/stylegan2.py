@@ -195,6 +195,10 @@ class DiscriminatorConfig:
     # Space-to-depth fast path for the first (highest-res, lowest-channel)
     # block, mirroring SynthesisConfig.packed_last_block.
     packed_first_block: bool = False
+    # How many leading blocks run packed when packed_first_block is set.
+    # Blocks after the first pack their input with a pure transpose
+    # (ops/packed.pack) and reuse the same composed kernels — no fromrgb.
+    packed_head_blocks: int = 1
     mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
 
     @property
@@ -921,10 +925,12 @@ def discriminator_apply(
     """Discriminator forward (reference networks.py:1373-1437)."""
     resample_filter = setup_filter(cfg.resample_filter)
 
-    def d_first_block_packed(block, img, dtype):
-        """First resnet block on the packed grid (ops/packed.py): fromrgb
-        1x1 -> cell-diagonal conv; conv0 3x3 -> packed conv; conv1/skip
-        (down=2) -> composed packed->unpacked kernels."""
+    def _packed_res_core(block, x, dtype):
+        """conv0/conv1/skip of a resnet block on the packed grid
+        (ops/packed.py): conv0 3x3 -> packed conv; conv1/skip (down=2) ->
+        composed packed->unpacked kernels.  ``x`` is the packed input
+        [N, 4C, res/2, res/2]; returns the unpacked [N, C_out, res/2, res/2]
+        block output."""
         from gagan_tpu.ops import packed as pk
 
         taps = jnp.asarray(cfg.resample_filter, jnp.float32)
@@ -934,13 +940,6 @@ def discriminator_apply(
         def gains(w):
             o, i, kh, kw = w.shape
             return w * (1.0 / np.sqrt(i * kh * kw))
-
-        img_p = pk.pack(img.astype(dtype))
-        w = gains(block["fromrgb"]["weight"])
-        x = pk.conv_packed(img_p, pk.build_packed_conv1x1(w).astype(dtype))
-        x = bias_act(x, pk.pack_channel_tile(
-            block["fromrgb"]["bias"]).astype(x.dtype), act=cfg.activation,
-            gain=spec.def_gain, clamp=cfg.conv_clamp)
 
         w = gains(block["conv0"]["weight"])
         y = pk.conv_packed(x, pk.build_packed_conv3x3(w).astype(dtype))
@@ -958,8 +957,38 @@ def discriminator_apply(
         w = gains(block["skip"]["weight"])
         sk = pk.conv_packed(x, pk.build_packed_down1x1(w, taps).astype(dtype))
         sk = sk * jnp.asarray(g, sk.dtype)
-        return sk + y, (downsample2d(img, resample_filter)
-                        if cfg.architecture == "skip" else None)
+        return sk + y
+
+    def d_first_block_packed(block, img, dtype):
+        """First resnet block on the packed grid: fromrgb 1x1 ->
+        cell-diagonal conv on pack(img), then the packed conv0/conv1/skip
+        core."""
+        from gagan_tpu.ops import packed as pk
+
+        spec = activation_funcs[cfg.activation]
+
+        def gains(w):
+            o, i, kh, kw = w.shape
+            return w * (1.0 / np.sqrt(i * kh * kw))
+
+        img_p = pk.pack(img.astype(dtype))
+        w = gains(block["fromrgb"]["weight"])
+        x = pk.conv_packed(img_p, pk.build_packed_conv1x1(w).astype(dtype))
+        x = bias_act(x, pk.pack_channel_tile(
+            block["fromrgb"]["bias"]).astype(x.dtype), act=cfg.activation,
+            gain=spec.def_gain, clamp=cfg.conv_clamp)
+        return _packed_res_core(block, x, dtype), (
+            downsample2d(img, resample_filter)
+            if cfg.architecture == "skip" else None)
+
+    def d_head_block_packed(block, x, dtype):
+        """A later head block on the packed grid: the unpacked input map is
+        packed with a pure transpose (4x the channels at half the spatial
+        dims — MXU-friendly at high res / low channel count), then the
+        packed conv0/conv1/skip core runs."""
+        from gagan_tpu.ops import packed as pk
+
+        return _packed_res_core(block, pk.pack(x.astype(dtype)), dtype)
 
     def d_block(block, x, img, dtype):
         if x is not None:
@@ -996,16 +1025,24 @@ def discriminator_apply(
         d_block = jax.checkpoint(d_block, static_argnums=(3,))
 
     x = None
-    for res in cfg.block_resolutions:
+    for bi, res in enumerate(cfg.block_resolutions):
         block = params[f"b{res}"]
         dtype = (jnp.bfloat16 if res >= cfg.bf16_resolution and not force_fp32
                  else jnp.float32)
-        if (cfg.packed_first_block and res == cfg.img_resolution and res > 4
-                and cfg.architecture == "resnet"):
+        packed_ok = (cfg.packed_first_block and res > 4
+                     and cfg.architecture == "resnet"
+                     and bi < cfg.packed_head_blocks)
+        if packed_ok and res == cfg.img_resolution:
             fb = d_first_block_packed
             if cfg.remat:
                 fb = jax.checkpoint(fb, static_argnums=(2,))
             x, img = fb(block, img, dtype)
+            continue
+        if packed_ok:
+            hb = d_head_block_packed
+            if cfg.remat:
+                hb = jax.checkpoint(hb, static_argnums=(2,))
+            x = hb(block, x, dtype)
             continue
         x, img = d_block(block, x, img, dtype)
 

@@ -237,6 +237,36 @@ def test_packed_first_block_discriminator_parity():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_packed_head_blocks_discriminator_parity():
+    """packed_head_blocks > 1: later head blocks pack their input with a
+    transpose and reuse the composed packed kernels (same math)."""
+    import dataclasses
+
+    cfg = sg2.DiscriminatorConfig(
+        img_resolution=64, img_channels=3, channel_base=2048,
+        channel_max=128, mbstd_group_size=2)
+    params = sg2.init_discriminator(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+    base = sg2.discriminator_apply(cfg, params, img)
+    for n in (2, 3):
+        packed = sg2.discriminator_apply(
+            dataclasses.replace(cfg, packed_first_block=True,
+                                packed_head_blocks=n), params, img)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(base),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"n={n}")
+
+    # Gradients flow through the packed head path.
+    cfg_p = dataclasses.replace(cfg, packed_first_block=True,
+                                packed_head_blocks=2)
+
+    def loss(p):
+        return jnp.mean(jnp.square(sg2.discriminator_apply(cfg_p, p, img)))
+
+    g = jax.grad(loss)(params)
+    w_grad = g["b32"]["conv0"]["weight"]
+    assert float(jnp.linalg.norm(w_grad)) > 0
+
+
 def test_remat_matches_plain():
     import dataclasses
 

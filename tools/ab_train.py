@@ -165,10 +165,14 @@ def main():
     args = ap.parse_args()
 
     # Persist compiled executables (the axon-tunnel compile service is slow;
-    # arms share most step variants, and reruns become free).
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_gagan_bench"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # arms share most step variants, and reruns become free).  TPU-only:
+    # XLA:CPU caches AOT machine code keyed on the *build* host's CPU
+    # features, and this VM migrates between hosts — loading a stale entry
+    # can SIGILL.
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_gagan_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     data = blob_dataset(args.n_data, args.res, seed=123)
     results = []

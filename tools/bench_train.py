@@ -27,7 +27,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           packed: bool, accum: int = 1, reg_accum: int = 1,
           g_reg_accum: int = None, d_reg_accum: int = None,
           reg_remat: bool = False, packed_blocks: int = 1,
-          fp16_res: int = 4, reuse_fakes: bool = False):
+          fp16_res: int = 4, reuse_fakes: bool = False,
+          packed_head_blocks: int = 1):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -45,7 +46,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
         img_resolution=res, channel_base=int(fmaps * 32768), channel_max=512,
         num_fp16_res=fp16_res, conv_clamp=256,
         mbstd_group_size=min(batch, 4),
-        packed_first_block=packed and res >= 64, remat=remat)
+        packed_first_block=packed and res >= 64,
+        packed_head_blocks=packed_head_blocks, remat=remat)
     cfg = ts.TrainConfig(
         batch_size=batch,
         loss=gan_loss.GANLossConfig(r1_gamma=0.0002 * res * res / batch),
@@ -104,11 +106,24 @@ def main():
     ap.add_argument("--reg-remat", action="store_true",
                     help="remat only the R1 phase (use with --no-remat)")
     ap.add_argument("--packed-blocks", type=int, default=1)
+    ap.add_argument("--packed-head-blocks", type=int, default=1,
+                    help="leading D blocks on the packed grid")
     ap.add_argument("--fp16-res", type=int, default=4,
                     help="bf16 for the N highest resolutions (9 = all)")
     ap.add_argument("--simultaneous", action="store_true",
                     help="shared-forward simultaneous Gmain+Dmain update")
+    ap.add_argument("--variants", default="none,greg,both",
+                    help="comma subset of none,greg,both — measure fewer "
+                         "step variants (skips their compiles; amortized "
+                         "sec/kimg is only printed for the full set)")
     args = ap.parse_args()
+
+    # TPU-only: XLA:CPU cache entries embed the build host's CPU features
+    # and this VM migrates between hosts — loading a stale entry can SIGILL.
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_gagan_bench"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     steps, state = build(args.res, args.batch, args.aug, args.fmaps,
                          remat=not args.no_remat, packed=not args.no_packed,
@@ -119,15 +134,19 @@ def main():
                          reg_remat=args.reg_remat,
                          packed_blocks=args.packed_blocks,
                          fp16_res=args.fp16_res,
-                         reuse_fakes=args.simultaneous)
+                         reuse_fakes=args.simultaneous,
+                         packed_head_blocks=args.packed_head_blocks)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
                              (args.batch, 3, args.res, args.res))
     z = jax.random.normal(jax.random.PRNGKey(4), (args.batch, 512))
 
+    wanted = [v for v in args.variants.split(",") if v]
     per_step = {}
     for name, step in steps.items():
+        if name not in wanted:
+            continue
         t0 = time.perf_counter()
         state, metrics = step(state, real, None, z, None, key)
         # Force device->host sync (axon tunnel: block_until_ready alone can
@@ -147,14 +166,15 @@ def main():
         per_step[name] = sum(times) / len(times)
         print(f"[{name}] sec/step: {per_step[name]:.3f}", flush=True)
 
-    # Amortized over the loop's 16-batch schedule.
-    amortized = (12 * per_step["none"] + 3 * per_step["greg"]
-                 + 1 * per_step["both"]) / 16
-    sec_per_kimg = amortized * 1000.0 / args.batch
     print(f"res={args.res} batch={args.batch} aug={args.aug} "
           f"fmaps={args.fmaps}")
-    print(f"amortized sec/step: {amortized:.3f}   sec/kimg: "
-          f"{sec_per_kimg:.1f}   imgs/sec: {args.batch / amortized:.1f}")
+    if set(per_step) >= {"none", "greg", "both"}:
+        # Amortized over the loop's 16-batch schedule.
+        amortized = (12 * per_step["none"] + 3 * per_step["greg"]
+                     + 1 * per_step["both"]) / 16
+        sec_per_kimg = amortized * 1000.0 / args.batch
+        print(f"amortized sec/step: {amortized:.3f}   sec/kimg: "
+              f"{sec_per_kimg:.1f}   imgs/sec: {args.batch / amortized:.1f}")
 
 
 if __name__ == "__main__":
