@@ -9,11 +9,12 @@ from .crossover_mutation import (
 )
 from .evaluation import calculate_metrics
 from .search import GASearchConfig, evolve_directions
-from .refine import apply_genetic_refinement
+from .refine import apply_genetic_refinement, wgan_gradient_penalty
 
 __all__ = [
     "GASearchConfig",
     "apply_genetic_refinement",
+    "wgan_gradient_penalty",
     "calculate_metrics",
     "dynamic_mutation",
     "evolve_directions",

@@ -27,6 +27,40 @@ from gagan_tpu.models import stylegan2 as sg2
 Params = Dict
 
 
+def wgan_gradient_penalty(
+    d_cfg: sg2.DiscriminatorConfig,
+    d_params: Params,
+    real_img: jax.Array,
+    fake_img: jax.Array,
+    key: jax.Array,
+    c: Optional[jax.Array] = None,
+    critic_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+) -> jax.Array:
+    """WGAN-GP gradient penalty on real/fake interpolates.
+
+    Re-expression of the GA splice's helper
+    (`DissimilarDomains/training/training_loop.py:394-410`): per-sample
+    alpha ~ U[0,1), x_hat = alpha*real + (1-alpha)*fake, penalty =
+    mean((||d D(x_hat)/d x_hat||_2 - 1)^2).  The reference's
+    torch.autograd.grad w.r.t. the interpolated inputs is jax.grad of the
+    summed critic score (grad_outputs=ones == sum's pullback).
+    ``critic_fn`` overrides the default discriminator critic (any
+    [N, ...] -> [N] or [N, 1] scorer)."""
+    alpha = jax.random.uniform(key, (real_img.shape[0], 1, 1, 1),
+                               dtype=real_img.dtype)
+    interp = alpha * real_img + (1.0 - alpha) * fake_img
+
+    def critic_sum(x):
+        if critic_fn is not None:
+            return jnp.sum(critic_fn(x))
+        return jnp.sum(sg2.discriminator_apply(d_cfg, d_params, x, c=c))
+
+    grads = jax.grad(critic_sum)(interp)
+    norms = jnp.sqrt(jnp.sum(jnp.square(
+        grads.reshape(grads.shape[0], -1)), axis=1) + 1e-12)
+    return jnp.mean(jnp.square(norms - 1.0))
+
+
 def apply_genetic_refinement(
     g_cfg: sg2.GeneratorConfig,
     g_params: Params,
