@@ -88,13 +88,20 @@ CFG_SPECS = {
                    "shared forward (~20% faster at 1024; D sees pre-update-"
                    "G fakes and shares the fake sample/augment draw with "
                    "G).  'alternating' keeps the reference phase order.")
+@click.option("--packed-tail-blocks", type=int, default=1, show_default=True,
+              help="Trailing G synthesis blocks on the space-to-depth "
+                   "packed grid (res>=64; 0 disables packing)")
+@click.option("--packed-head-blocks", type=int, default=1, show_default=True,
+              help="Leading D blocks on the packed grid (res>=64; "
+                   "0 disables packing)")
 @click.option("--dry-run", is_flag=True)
 def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
          mirror,
          subset, aug, aug_p, target, augpipe, aug_dtype, resume, freezed,
          lrate, glrate,
          dlrate, use_domain_modulation, domain_modulation_parametrization,
-         generator_requires_grad_parts, snap, seed, phase_schedule, dry_run):
+         generator_requires_grad_parts, snap, seed, phase_schedule,
+         packed_tail_blocks, packed_head_blocks, dry_run):
     """Train a StyleGAN2 (optionally domain-adapted) model on TPU."""
     import jax
 
@@ -186,13 +193,16 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
         synthesis=sg2.SynthesisConfig(
             channel_base=int(spec["fmaps"] * 32768), channel_max=512,
             num_fp16_res=4, conv_clamp=256,
-            packed_last_block=(res >= 64), remat=main_remat))
+            packed_last_block=(res >= 64 and packed_tail_blocks > 0),
+            packed_tail_blocks=max(packed_tail_blocks, 1),
+            remat=main_remat))
     d_cfg = sg2.DiscriminatorConfig(
         c_dim=dataset.label_dim if cond else 0, img_resolution=res,
         img_channels=dataset.num_channels,
         channel_base=int(spec["fmaps"] * 32768), channel_max=512,
         num_fp16_res=4, conv_clamp=256, mbstd_group_size=spec["mbstd"],
-        packed_first_block=(res >= 64), remat=main_remat)
+        packed_first_block=(res >= 64 and packed_head_blocks > 0),
+        packed_head_blocks=max(packed_head_blocks, 1), remat=main_remat)
 
     train_cfg = ts.TrainConfig(
         g_lr=spec["glrate"], d_lr=spec["dlrate"],
