@@ -116,6 +116,10 @@ def main():
                     help="comma subset of none,greg,both — measure fewer "
                          "step variants (skips their compiles; amortized "
                          "sec/kimg is only printed for the full set)")
+    ap.add_argument("--flops", action="store_true",
+                    help="report XLA cost-analysis FLOPs per variant and "
+                         "achieved TFLOP/s (MFU vs the v5e 197 TF/s bf16 "
+                         "peak)")
     args = ap.parse_args()
 
     # TPU-only: XLA:CPU cache entries embed the build host's CPU features
@@ -144,9 +148,18 @@ def main():
 
     wanted = [v for v in args.variants.split(",") if v]
     per_step = {}
+    flops = {}
     for name, step in steps.items():
         if name not in wanted:
             continue
+        if args.flops:
+            # XLA cost analysis counts every f32/bf16 multiply-add as 2
+            # flops — machine-independent, so MFU = flops / (dt * peak).
+            cost = step.lower(state, real, None, z, None, key).compile(
+            ).cost_analysis()
+            flops[name] = float(cost.get("flops", 0.0))
+            print(f"[{name}] cost-analysis flops: {flops[name] / 1e12:.2f} "
+                  f"TF/step", flush=True)
         t0 = time.perf_counter()
         state, metrics = step(state, real, None, z, None, key)
         # Force device->host sync (axon tunnel: block_until_ready alone can
@@ -164,7 +177,11 @@ def main():
             times.append(time.perf_counter() - t0)
         times = sorted(times)[: max(1, len(times) - 1)]  # drop slowest
         per_step[name] = sum(times) / len(times)
-        print(f"[{name}] sec/step: {per_step[name]:.3f}", flush=True)
+        line = f"[{name}] sec/step: {per_step[name]:.3f}"
+        if name in flops and per_step[name] > 0:
+            tfs = flops[name] / per_step[name] / 1e12
+            line += f"   {tfs:.1f} TF/s ({100 * tfs / 197.0:.1f}% v5e peak)"
+        print(line, flush=True)
 
     print(f"res={args.res} batch={args.batch} aug={args.aug} "
           f"fmaps={args.fmaps}")
