@@ -155,8 +155,11 @@ def main():
         if args.flops:
             # XLA cost analysis counts every f32/bf16 multiply-add as 2
             # flops — machine-independent, so MFU = flops / (dt * peak).
-            cost = step.lower(state, real, None, z, None, key).compile(
-            ).cost_analysis()
+            # Analyzed on the UNOPTIMIZED lowering (client-side, no extra
+            # device compile — the axon remote-compile service does not
+            # read the persistent cache, so lower().compile() would double
+            # every compile); pre-CSE flops slightly overestimate.
+            cost = step.lower(state, real, None, z, None, key).cost_analysis()
             flops[name] = float(cost.get("flops", 0.0))
             print(f"[{name}] cost-analysis flops: {flops[name] / 1e12:.2f} "
                   f"TF/step", flush=True)
