@@ -367,3 +367,32 @@ def test_projector_cli(trained_run, tmp_path):
     assert steps["z"].shape[0] == 4
     frames = sorted(os.listdir(os.path.join(outdir_z, "target_steps")))
     assert frames == ["step00000.png", "step00002.png"]
+
+
+def test_train_packed_paths_64(tmp_path_factory, tmp_path, monkeypatch):
+    """Full CLI train at res 64 with multi-block packed G tail / D head —
+    exercises the packed-grid fast paths through the real entry point
+    (model-level parity lives in test_stylegan2_parity)."""
+    from gagan_tpu.cli import train as train_cli
+
+    d = tmp_path_factory.mktemp("raw64")
+    rng = np.random.RandomState(1)
+    for i in range(8):
+        img = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        PIL.Image.fromarray(img).save(d / f"img{i:04d}.png")
+    zip64 = str(tmp_path_factory.mktemp("data64") / "tiny64.zip")
+    dataset_tool.convert_dataset(str(d), zip64)
+
+    _patch_tiny_loop(monkeypatch)
+    outdir = str(tmp_path)
+    runner = CliRunner()
+    result = runner.invoke(train_cli.main, [
+        "--outdir", outdir, "--data", zip64, "--gpus", "1",
+        "--cfg", "cifar", "--batch", "4", "--kimg", "1",
+        "--aug", "ada", "--augpipe", "bgc", "--snap", "1", "--seed", "0",
+        "--packed-tail-blocks", "2", "--packed-head-blocks", "2",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    snapshots = [f for f in os.listdir(outdir)
+                 if f.startswith("network-snapshot")]
+    assert snapshots, os.listdir(outdir)
