@@ -55,8 +55,10 @@ def load_clip_encoders(names, overrides: Optional[Dict] = None):
 
 
 def text_embeddings(encoders, source_class, target_class, templates):
-    """encode_text over templates, mean-free (the reference keeps all
-    template embeddings and lets direction_loss mean them)."""
+    """encode_text over templates, mean-free: [1, T, D] per class — the
+    reference keeps all template embeddings, unsqueezes the batch axis
+    (trainers.py:551-555), and lets the losses' ndim==3 branch mean the
+    template axis (core/loss.py:143-145)."""
     import jax.numpy as jnp
 
     from gagan_tpu.clip import encode_text
@@ -69,7 +71,7 @@ def text_embeddings(encoders, source_class, target_class, templates):
         for key, text in (("src", source_class), ("trg", target_class)):
             prompts = [t.format(text) for t in templates]
             tokens = jnp.asarray(tokenize(prompts, tok))
-            out[key] = encode_text(ccfg, cparams, tokens)
+            out[key] = encode_text(ccfg, cparams, tokens)[None]
         emb[name] = out
     return emb
 

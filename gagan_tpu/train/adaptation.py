@@ -65,9 +65,11 @@ class AdaptationTrainer:
     """Drives offsets training against a frozen generator + CLIP towers.
 
     clip_encoders: {name: (CLIPConfig, params)} for each visual encoder.
-    domain_embeddings: {name: {'src': [D] or [T,D], 'trg': ...}} — text
-      embeddings (td_single) or style-image embeddings (im2im), precomputed
-      with encode_text / encode_image.
+    domain_embeddings: {name: {'src': [1,D] or [1,T,D], 'trg': ...}} — text
+      embeddings over T templates (td_single; the losses' ndim==3 branch
+      means the template axis, reference trainers.py:551-555) or
+      style-image embeddings (im2im), precomputed with
+      encode_text / encode_image.
     style data (im2im trainers): style_image uint8 [C,H,W], style_latents
       W+ [1, num_ws, w_dim] from inversion, style_image_inverted_A uint8.
     """

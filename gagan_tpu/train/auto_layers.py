@@ -36,7 +36,8 @@ def make_layer_score_fn(g_cfg: sg2.GeneratorConfig,
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         t = target_emb / jnp.linalg.norm(target_emb, axis=-1, keepdims=True)
         if t.ndim > 1:
-            t = t.mean(0)
+            # [T, D] or [1, T, D] template embeddings -> mean direction.
+            t = t.reshape(-1, t.shape[-1]).mean(0)
             t = t / jnp.linalg.norm(t)
         return (1.0 - emb @ t).mean()
 

@@ -35,6 +35,24 @@ def test_direction_loss_parity():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_direction_loss_template_embeddings():
+    """[1, T, D] template text embeddings (the adapt CLI's shape, mirroring
+    reference trainers.py:551-555): the ndim==3 branch means the template
+    axis (core/loss.py:143-145), independent of batch size."""
+    rng = np.random.RandomState(2)
+    cb = {"trg_encoded": rng.randn(2, 16).astype(np.float32),
+          "src_encoded": rng.randn(2, 16).astype(np.float32),
+          "trg_domain_emb": rng.randn(1, 7, 16).astype(np.float32),
+          "src_domain_emb": rng.randn(1, 7, 16).astype(np.float32)}
+    want = torch_cosine_loss(
+        torch.from_numpy(cb["trg_encoded"] - cb["src_encoded"]),
+        torch.from_numpy(
+            cb["trg_domain_emb"] - cb["src_domain_emb"]).mean(axis=1),
+    ).mean().item()
+    got = float(al.direction_loss({k: jnp.asarray(v) for k, v in cb.items()}))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_indomain_loss_parity():
     rng = np.random.RandomState(1)
     src = rng.randn(5, 8).astype(np.float32)

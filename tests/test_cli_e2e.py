@@ -277,10 +277,10 @@ def test_adapt_cli(tmp_path):
     # The checkpoint round-trips through the loader.
     from gagan_tpu.utils import checkpoint as ckpt
 
-    meta, offsets, sg2_config = ckpt.load_adaptation(
+    meta, offsets, _extra = ckpt.load_adaptation(
         os.path.join(outdir, ckpts[-1]))
     assert meta["parametrization"] == "s_delta"
-    assert sg2_config["img_resolution"] == 32
+    assert meta["sg2_params"]["img_resolution"] == 32
 
 
 def test_calc_metrics_cli(trained_run, tiny_zip, tmp_path):
