@@ -21,9 +21,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_example(script, *args):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # This image's sitecustomize registers the axon TPU-tunnel PJRT plugin
+    # whenever PALLAS_AXON_POOL_IPS is set — even under JAX_PLATFORMS=cpu —
+    # and a wedged tunnel then hangs backend init.  CPU subprocesses must
+    # skip registration entirely.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "examples", script), *args],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, (
         f"{script} failed:\nstdout:\n{proc.stdout}\nstderr:\n{proc.stderr}")
     return proc.stdout
