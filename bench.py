@@ -48,6 +48,7 @@ def ensure_backend(max_retries: int = 5, cooldown_s: int = 90) -> None:
       counter).
     """
     import os
+    import subprocess
     import sys
 
     import jax
@@ -57,6 +58,24 @@ def ensure_backend(max_retries: int = 5, cooldown_s: int = 90) -> None:
         # Let jax pick whichever name the plugin actually registered.
         os.environ.pop("JAX_PLATFORMS", None)
         jax.config.update("jax_platforms", None)
+    # A WEDGED tunnel hangs backend init inside a C nanosleep retry loop
+    # that SIGALRM cannot interrupt — probe liveness in a subprocess first
+    # so this process can fail fast (and re-exec-retry) instead of hanging
+    # the whole bench.
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"},
+            timeout=240, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        tries = int(os.environ.get(_RETRY_ENV, "0"))
+        if tries >= max_retries:
+            raise RuntimeError(f"TPU backend probe failed: {e}")
+        print(f"# backend probe failed ({type(e).__name__}); re-exec "
+              f"{tries + 1}/{max_retries} in {cooldown_s}s", flush=True)
+        time.sleep(cooldown_s)
+        os.environ[_RETRY_ENV] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     try:
         jax.devices()
     except RuntimeError as e:
@@ -239,8 +258,6 @@ def bench_adaptation():
 
 
 def main():
-    ensure_backend()
-
     result = {
         "metric": "ffhq1024_synthesis_imgs_per_sec_per_chip",
         "value": None,
@@ -251,6 +268,14 @@ def main():
         "adapt_steps_per_sec": None,
         "adapt_vs_baseline": None,
     }
+    try:
+        ensure_backend()
+    except Exception as e:
+        # Emit the JSON line with nulls rather than nothing: the driver
+        # records whatever single line this prints.
+        print(f"# backend unavailable: {e}", flush=True)
+        print(json.dumps(result))
+        return
     try:
         imgs_per_sec = bench_synthesis()
         result["value"] = round(imgs_per_sec, 2)
