@@ -418,3 +418,35 @@ def test_simultaneous_fused_step_runs():
     d0 = jax.tree.leaves(state.d_params)[0]
     d1 = jax.tree.leaves(state2.d_params)[0]
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_data_parallel_hlo_collectives_are_grad_allreduce_only():
+    """Compile the 8-way data-parallel fused step and audit its collectives:
+    gradient/metric all-reduces must be present, and nothing may all-gather
+    or all-to-all activations or parameters — the silent multi-chip perf
+    killer this guards against (params are replicated, batch stays sharded,
+    so XLA's only legitimate cross-device traffic is psum)."""
+    import re
+
+    g_cfg, d_cfg = tiny_configs()
+    cfg = ts.TrainConfig(batch_size=8)
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+    state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+    step_fn = ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx)
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (8, 3, 16, 16))
+    z = jax.random.normal(jax.random.PRNGKey(3), (8, 32))
+
+    mesh = create_mesh(8)
+    dp_step = shard_train_step(step_fn, mesh, donate_state=False)
+    state_dp = place_state(mesh, state)
+    real_dp, z_dp = shard_batch(mesh, (real, z))
+    hlo = dp_step.lower(state_dp, real_dp, None, z_dp, None,
+                        jax.random.PRNGKey(4)).compile().as_text()
+
+    assert "all-reduce" in hlo, "no gradient all-reduce in the DP step HLO"
+    for op in ("all-gather", "all-to-all", "collective-permute"):
+        found = re.findall(rf"^\s*\S+ = \S+ {op}\(", hlo, flags=re.M)
+        assert not found, f"unexpected {op} in DP HLO: {found[:3]}"
