@@ -160,9 +160,15 @@ def main():
             # read the persistent cache, so lower().compile() would double
             # every compile); pre-CSE flops slightly overestimate.
             cost = step.lower(state, real, None, z, None, key).cost_analysis()
-            flops[name] = float(cost.get("flops", 0.0))
-            print(f"[{name}] cost-analysis flops: {flops[name] / 1e12:.2f} "
-                  f"TF/step", flush=True)
+            if cost is None:
+                # Some backends (axon remote compile) expose no client-side
+                # cost analysis for unoptimized lowerings.
+                print(f"[{name}] cost analysis unavailable on this backend",
+                      flush=True)
+            else:
+                flops[name] = float(cost.get("flops", 0.0))
+                print(f"[{name}] cost-analysis flops: "
+                      f"{flops[name] / 1e12:.2f} TF/step", flush=True)
         t0 = time.perf_counter()
         state, metrics = step(state, real, None, z, None, key)
         # Force device->host sync (axon tunnel: block_until_ready alone can
