@@ -103,6 +103,11 @@ class SynthesisConfig:
     # (jax.checkpoint): trades recompute for activation memory — needed for
     # 1024-square training on a single 16 GB chip.
     remat: bool = False
+    # Selective variant: remat only blocks at res >= this (None = follow
+    # `remat`).  The high-res blocks hold most of the activation bytes but a
+    # minority of the FLOPs, so rematting just the tail buys most of the
+    # memory at a fraction of the recompute.
+    remat_min_res: Optional[int] = None
 
     @property
     def block_resolutions(self) -> List[int]:
@@ -192,6 +197,9 @@ class DiscriminatorConfig:
     mbstd_num_channels: int = 1
     freeze_layers: int = 0
     remat: bool = False
+    # Selective remat: only blocks at res >= this (None = follow `remat`);
+    # see SynthesisConfig.remat_min_res.
+    remat_min_res: Optional[int] = None
     # Space-to-depth fast path for the first (highest-res, lowest-channel)
     # block, mirroring SynthesisConfig.packed_last_block.
     packed_first_block: bool = False
@@ -679,6 +687,14 @@ def _packed_tail(cfg, params, x, img, tail, noise_mode, rng, hooks,
     return pk.unpack(img)
 
 
+def _want_remat(cfg, res: int) -> bool:
+    """Block-level remat decision: cfg.remat remats everything;
+    cfg.remat_min_res remats only blocks at res >= the threshold."""
+    if cfg.remat:
+        return True
+    return cfg.remat_min_res is not None and res >= cfg.remat_min_res
+
+
 def synthesis_apply(
     cfg: SynthesisConfig,
     params: Params,
@@ -728,7 +744,7 @@ def synthesis_apply(
             for r2 in resolutions[resolutions.index(res) + 1:]:
                 tail.append((r2, [ws[:, w_idx + i] for i in range(3)]))
                 w_idx += 2
-            if cfg.remat and hooks is None:
+            if _want_remat(cfg, res) and hooks is None:
                 tail_res = tuple(t[0] for t in tail)   # static, closed over
                 packed_fn = jax.checkpoint(
                     lambda params, x, img, tail_ws, rng: _packed_tail(
@@ -768,7 +784,7 @@ def synthesis_apply(
                 img = y if img is None else img + y
             return x, img
 
-        if cfg.remat:
+        if _want_remat(cfg, res):
             block_fn = jax.checkpoint(block_fn)
         x, img = block_fn(block, x, img, block_ws)
     return img
@@ -1021,12 +1037,12 @@ def discriminator_apply(
                                    conv_clamp=cfg.conv_clamp)
         return x, img
 
-    if cfg.remat:
-        d_block = jax.checkpoint(d_block, static_argnums=(3,))
+    d_block_remat = jax.checkpoint(d_block, static_argnums=(3,))
 
     x = None
     for bi, res in enumerate(cfg.block_resolutions):
         block = params[f"b{res}"]
+        remat_here = _want_remat(cfg, res)
         dtype = (jnp.bfloat16 if res >= cfg.bf16_resolution and not force_fp32
                  else jnp.float32)
         packed_ok = (cfg.packed_first_block and res > 4
@@ -1034,17 +1050,18 @@ def discriminator_apply(
                      and bi < cfg.packed_head_blocks)
         if packed_ok and res == cfg.img_resolution:
             fb = d_first_block_packed
-            if cfg.remat:
+            if remat_here:
                 fb = jax.checkpoint(fb, static_argnums=(2,))
             x, img = fb(block, img, dtype)
             continue
         if packed_ok:
             hb = d_head_block_packed
-            if cfg.remat:
+            if remat_here:
                 hb = jax.checkpoint(hb, static_argnums=(2,))
             x = hb(block, x, dtype)
             continue
-        x, img = d_block(block, x, img, dtype)
+        x, img = (d_block_remat if remat_here else d_block)(
+            block, x, img, dtype)
 
     cmap = None
     if cfg.c_dim > 0:

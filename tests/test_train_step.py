@@ -365,7 +365,7 @@ def test_gd_main_loss_gradient_routing():
 
     # Reconstruct the two phase losses from the same key split / shared
     # fakes (mirrors gd_main_loss's internal structure).
-    k_g, k_aug1, k_aug2 = jax.random.split(key, 3)
+    k_g, _k_aug = jax.random.split(key)
 
     def loss_g_fn(gp):
         img, _ = gan_loss.run_G(g_cfg, gp, z, None, k_g, 0.9)
@@ -390,6 +390,54 @@ def test_gd_main_loss_gradient_routing():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6, err_msg=str(p1))
     assert "Loss/G/loss" in metrics and "Loss/D/loss" in metrics
+
+
+def test_gd_main_loss_augment_routing():
+    # With an augment pipe active, gradients must still route exactly as in
+    # the separated phases with the same transform applied.  A deterministic
+    # "augment" isolates routing from RNG-draw layout.
+    g_cfg, d_cfg = tiny_configs()
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    lcfg = gan_loss.GANLossConfig(style_mixing_prob=0.9)
+    z = jax.random.normal(jax.random.PRNGKey(2), (4, 32))
+    real = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 16, 16))
+    key = jax.random.PRNGKey(4)
+
+    def det_aug(img, p, k):
+        return jnp.tanh(img) * 1.5     # nonlinear: exercises the aug VJP
+
+    (_, _), (gg, _, gd) = jax.value_and_grad(
+        lambda gp, off, dp: gan_loss.gd_main_loss(
+            lcfg, g_cfg, d_cfg, gp, dp, real, None, z, None, key,
+            augment_fn=det_aug, ada_p=jnp.float32(0.5)),
+        argnums=(0, 1, 2), has_aux=True)(g_params, None, d_params)
+
+    k_g, _k_aug = jax.random.split(key)
+
+    def loss_g_fn(gp):
+        img, _ = gan_loss.run_G(g_cfg, gp, z, None, k_g, 0.9)
+        img = det_aug(img, None, None)
+        return jnp.mean(gan_loss.softplus(
+            -sg2.discriminator_apply(d_cfg, d_params, img, None)))
+
+    def loss_d_fn(dp):
+        img, _ = gan_loss.run_G(g_cfg, g_params, z, None, k_g, 0.9)
+        img = jax.lax.stop_gradient(det_aug(img, None, None))
+        return (jnp.mean(gan_loss.softplus(
+                    sg2.discriminator_apply(d_cfg, dp, img, None)))
+                + jnp.mean(gan_loss.softplus(-sg2.discriminator_apply(
+                    d_cfg, dp, det_aug(real, None, None), None))))
+
+    want_gg = jax.grad(loss_g_fn)(g_params)
+    want_gd = jax.grad(loss_d_fn)(d_params)
+    for got, want in ((gg, want_gg), (gd, want_gd)):
+        for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(got),
+                jax.tree_util.tree_leaves_with_path(want)):
+            assert p1 == p2
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6, err_msg=str(p1))
 
 
 def test_simultaneous_fused_step_runs():

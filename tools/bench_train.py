@@ -28,7 +28,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           g_reg_accum: int = None, d_reg_accum: int = None,
           reg_remat: bool = False, packed_blocks: int = 1,
           fp16_res: int = 4, reuse_fakes: bool = False,
-          packed_head_blocks: int = 1):
+          packed_head_blocks: int = 1, remat_min_res: int = None,
+          accum_scan: bool = True):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -41,20 +42,21 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
             num_fp16_res=fp16_res, conv_clamp=256,
             packed_last_block=packed and res >= 64,
             packed_tail_blocks=packed_blocks,
-            remat=remat))
+            remat=remat, remat_min_res=remat_min_res))
     d_cfg = sg2.DiscriminatorConfig(
         img_resolution=res, channel_base=int(fmaps * 32768), channel_max=512,
         num_fp16_res=fp16_res, conv_clamp=256,
         mbstd_group_size=min(batch, 4),
         packed_first_block=packed and res >= 64,
-        packed_head_blocks=packed_head_blocks, remat=remat)
+        packed_head_blocks=packed_head_blocks, remat=remat,
+        remat_min_res=remat_min_res)
     cfg = ts.TrainConfig(
         batch_size=batch,
         loss=gan_loss.GANLossConfig(r1_gamma=0.0002 * res * res / batch),
         ada_target=0.6 if aug else None,
         accum_rounds=accum, reg_accum_rounds=reg_accum,
         g_reg_accum_rounds=g_reg_accum, d_reg_accum_rounds=d_reg_accum,
-        simultaneous_main=reuse_fakes)
+        simultaneous_main=reuse_fakes, accum_scan=accum_scan)
 
     # reg_remat: the hot variants (no d_reg, i.e. 15 of 16 batches) run
     # un-remat'd; the variant containing R1 — whose double-backward peaks
@@ -110,6 +112,10 @@ def main():
                     help="leading D blocks on the packed grid")
     ap.add_argument("--fp16-res", type=int, default=4,
                     help="bf16 for the N highest resolutions (9 = all)")
+    ap.add_argument("--remat-min-res", type=int, default=None,
+                    help="remat only blocks at res >= this (with --no-remat)")
+    ap.add_argument("--no-accum-scan", action="store_true",
+                    help="unroll accumulation rounds instead of lax.scan")
     ap.add_argument("--simultaneous", action="store_true",
                     help="shared-forward simultaneous Gmain+Dmain update")
     ap.add_argument("--variants", default="none,greg,both",
@@ -139,7 +145,9 @@ def main():
                          packed_blocks=args.packed_blocks,
                          fp16_res=args.fp16_res,
                          reuse_fakes=args.simultaneous,
-                         packed_head_blocks=args.packed_head_blocks)
+                         packed_head_blocks=args.packed_head_blocks,
+                         remat_min_res=args.remat_min_res,
+                         accum_scan=not args.no_accum_scan)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
