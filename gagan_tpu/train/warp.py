@@ -36,45 +36,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _row_conv(x: jax.Array, kernel: jax.Array, spatial2: bool = False):
-    """Grouped conv: rows (n, c, h) as channels, kernel [N, H, taps] shared
-    over c.  With ``spatial2`` x is [N, C, H, Wc, B] and the conv runs over
-    the Wc axis only."""
-    n, c, h = x.shape[:3]
-    taps = kernel.shape[-1]
-    kr = jnp.broadcast_to(kernel[:, None], (n, c, h, taps)).reshape(
-        n * c * h, 1, taps)
-    if spatial2:
-        wc, b = x.shape[3], x.shape[4]
-        xr = x.reshape(1, n * c * h, wc, b)
-        y = jax.lax.conv_general_dilated(
-            xr, kr[:, :, :, None], (1, 1), "VALID",
-            feature_group_count=n * c * h,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        return y.reshape(n, c, h, y.shape[2], b)
-    xr = x.reshape(1, n * c * h, 1, x.shape[3])
-    y = jax.lax.conv_general_dilated(
-        xr, kr[:, :, None, :], (1, 1), "VALID",
-        feature_group_count=n * c * h,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return y.reshape(n, c, h, y.shape[3])
-
-
 def _one_hot_block_shift(x: jax.Array, k: jax.Array, block: int,
                          keep: int) -> jax.Array:
-    """Shift rows by k[n,h]*block pixels via a one-hot conv over blocks.
+    """Shift rows by k[n,h]*block pixels: one-hot matmul over blocks.
 
     x: [N,C,H,W] with W % block == 0; returns [N,C,H,keep*block] containing
-    x[.., k*block : k*block + keep*block]."""
+    x[.., k*block : k*block + keep*block].
+
+    Expressed as a per-(n,h) [J, keep] one-hot matrix contracted over the
+    block index by einsum — measured ~2x faster on TPU than the equivalent
+    grouped conv with n*c*h feature groups (which Mosaic tiles one
+    single-channel group at a time)."""
     n, c, h, w_in = x.shape
     wc = w_in // block
-    taps = wc - keep + 1
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n, h, taps), 2)
-    k_i = jnp.clip(k.astype(jnp.int32), 0, taps - 1)[:, :, None]
-    kernel = (pos == k_i).astype(x.dtype)
+    k_i = jnp.clip(k, 0.0, float(wc - keep))
+    src = jax.lax.broadcasted_iota(jnp.float32, (n, h, wc, keep), 2)
+    dst = jax.lax.broadcasted_iota(jnp.float32, (n, h, wc, keep), 3)
+    m = (src == k_i[:, :, None, None] + dst).astype(x.dtype)
     xb = x.reshape(n, c, h, wc, block)
-    xc = _row_conv(xb, kernel, spatial2=True)
-    return xc.reshape(n, c, h, keep * block)
+    y = jnp.einsum("nchJb,nhJj->nchjb", xb, m)
+    return y.reshape(n, c, h, keep * block)
 
 
 def _two_hot_shift(x: jax.Array, shift: jax.Array, out_w: int,
@@ -85,12 +66,15 @@ def _two_hot_shift(x: jax.Array, shift: jax.Array, out_w: int,
     Returns y [N, C, H, out_w] = lerp(x[h, k+w], x[h, k+w+1], frac(shift)).
 
     The integer shift splits into block shifts at decreasing granularities
-    (one-hot convs over W/b positions each) plus a final fine two-hot conv,
-    keeping every tap count O(W/b0 + b0/b1 + ... + b_last)."""
+    (one-hot block matmuls over W/b positions each) plus a final fractional
+    two-hot stage over adjacent block pairs, keeping every contraction
+    length O(W/b0 + b0/b1 + ... + 2*b_last)."""
     n, c, h, w_in = x.shape
     blocks = [b for b in blocks if b > 1 and b * 4 <= w_in]
-    b0 = blocks[0] if blocks else 1
-    pad = (-w_in) % b0 if blocks else 0
+    if not blocks:
+        blocks = [max(2, 1 << max(0, (w_in // 4).bit_length() - 1))]
+    b0 = blocks[0]
+    pad = (-w_in) % b0
     if pad:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad)))
         w_in += pad
@@ -98,7 +82,6 @@ def _two_hot_shift(x: jax.Array, shift: jax.Array, out_w: int,
     shift = jnp.clip(shift, 0.0, w_in - out_w - 2.0)
     residual = shift
     cur = x
-    prev_block = None
     for b in blocks:
         k = jnp.floor(residual / b)
         residual = residual - k * b                 # in [0, b)
@@ -106,17 +89,31 @@ def _two_hot_shift(x: jax.Array, shift: jax.Array, out_w: int,
         need = out_w + b + 2
         keep = min(-(-need // b) + 1, cur.shape[-1] // b)
         cur = _one_hot_block_shift(cur, k, b, keep)
-        prev_block = b
 
-    # Fine: two-hot over the last level's granularity.
+    # Fine: fractional two-hot over adjacent pairs of last-level blocks.
+    # residual < bf here, so output block j draws only from input blocks
+    # j and j+1: contract [2*bf -> bf] with a per-(n,h) two-hot matrix.
+    bf = blocks[-1]
     k_f = jnp.floor(residual)
     f = (residual - k_f).astype(x.dtype)
-    taps_f = cur.shape[-1] - out_w + 1
-    pos_f = jax.lax.broadcasted_iota(jnp.int32, (n, h, taps_f), 2)
-    k_fi = k_f.astype(jnp.int32)[:, :, None]
-    kernel_f = ((pos_f == k_fi).astype(x.dtype) * (1.0 - f[:, :, None])
-                + (pos_f == k_fi + 1).astype(x.dtype) * f[:, :, None])
-    return _row_conv(cur, kernel_f)
+    # The pair-block stage yields (width/bf - 1) * bf columns; pad so that
+    # covers out_w (keep may have been clamped to the whole array above).
+    min_width = (-(-out_w // bf) + 1) * bf
+    if cur.shape[-1] < min_width:
+        cur = jnp.pad(cur, ((0, 0), (0, 0), (0, 0),
+                            (0, min_width - cur.shape[-1])))
+    j2 = cur.shape[-1] // bf
+    xb = cur.reshape(n, c, h, j2, bf)
+    xcat = jnp.concatenate([xb[:, :, :, :-1, :], xb[:, :, :, 1:, :]],
+                           axis=-1)                 # [N,C,H,j2-1,2*bf]
+    t_idx = jax.lax.broadcasted_iota(jnp.float32, (n, h, 2 * bf, bf), 2)
+    b_idx = jax.lax.broadcasted_iota(jnp.float32, (n, h, 2 * bf, bf), 3)
+    rel = t_idx - b_idx
+    kf = k_f[:, :, None, None]
+    kernel_f = ((rel == kf).astype(x.dtype) * (1.0 - f[:, :, None, None])
+                + (rel == kf + 1.0).astype(x.dtype) * f[:, :, None, None])
+    y = jnp.einsum("nchjt,nhtb->nchjb", xcat, kernel_f)
+    return y.reshape(n, c, h, (j2 - 1) * bf)[..., :out_w]
 
 
 def _scale_matmul(x: jax.Array, scale: jax.Array, offset: jax.Array,
