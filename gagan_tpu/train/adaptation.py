@@ -313,11 +313,20 @@ class AdaptationTrainer:
             losses, scc_state = al.direct_loss(cfg.loss, batch, scc_state)
             return losses["total"], (losses, scc_state)
 
-        def step(offsets, opt_state, frozen, z, z2, use_mix, key, scc_state,
-                 cur_iter, grad_mask):
+        def step(offsets, opt_state, frozen, key, scc_state, cur_iter,
+                 grad_mask):
+            # All per-step randomness (z draws, mixing gate, noise) derives
+            # from one key INSIDE the jitted step: one device dispatch per
+            # step.  Host-side draws would each pay the dispatch latency —
+            # measured ~30 ms each through the axon tunnel, several times
+            # the step's compute.
+            k_z, k_z2, k_mix, k_step = jax.random.split(key, 4)
+            z = jax.random.normal(k_z, (cfg.batch_size, g_cfg.z_dim))
+            z2 = jax.random.normal(k_z2, (cfg.batch_size, g_cfg.z_dim))
+            use_mix = jax.random.uniform(k_mix) < cfg.mixing_noise
             (_, (losses, scc_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(offsets, frozen, z, z2, use_mix, key,
-                                       scc_state, cur_iter)
+                loss_fn, has_aux=True)(offsets, frozen, z, z2, use_mix,
+                                       k_step, scc_state, cur_iter)
             grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
             updates, opt_state = self.tx.update(grads, opt_state, offsets)
             offsets = optax.apply_updates(offsets, updates)
@@ -349,19 +358,16 @@ class AdaptationTrainer:
 
     def train_step(self) -> Dict[str, float]:
         cfg = self.cfg
-        self.key, k_z, k_z2, k_mix, k_step, k_auto = jax.random.split(
-            self.key, 6)
-        z = jax.random.normal(k_z, (cfg.batch_size, self.g_cfg.z_dim))
-        z2 = jax.random.normal(k_z2, (cfg.batch_size, self.g_cfg.z_dim))
-        use_mix = jax.random.uniform(k_mix) < cfg.mixing_noise
+        self.key, k_step, k_auto = jax.random.split(self.key, 3)
         mask = (self._auto_layer_mask(k_auto) if cfg.auto_layer_iters > 0
                 else self._full_mask)
         self.offsets, self.opt_state, losses, self.scc_state = self._step_fn(
-            self.offsets, self.opt_state, self._frozen, z, z2, use_mix,
-            k_step, self.scc_state,
-            jnp.asarray(self.current_step, jnp.float32), mask)
+            self.offsets, self.opt_state, self._frozen, k_step,
+            self.scc_state, jnp.asarray(self.current_step, jnp.float32),
+            mask)
         self.current_step += 1
-        return {k: float(v) for k, v in losses.items()}
+        # One bulk transfer (each float() would pay a round-trip).
+        return {k: float(v) for k, v in jax.device_get(losses).items()}
 
     def train(self, log_fn: Optional[Callable] = None,
               checkpoint_dir: Optional[str] = None) -> Params:
