@@ -66,10 +66,14 @@ def quick_gelu(x):
 
 
 def layer_norm(p: Params, x, eps: float = 1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    x = (x - mean) * jax.lax.rsqrt(var + eps)
-    return x * p["weight"] + p["bias"]
+    # Stats and affine in float32 regardless of compute dtype (the CLIP
+    # fp16 recipe keeps LayerNorm in full precision), result back in x's.
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def _attention(p: Params, x, n_heads: int, attn_mask=None):
@@ -77,7 +81,8 @@ def _attention(p: Params, x, n_heads: int, attn_mask=None):
     seq, batch_or_none = x.shape[0], None
     # x: [N, L, C] (batch-first here).
     n, l, c = x.shape
-    qkv = x @ p["in_proj_weight"].T + p["in_proj_bias"]
+    dt = x.dtype
+    qkv = x @ p["in_proj_weight"].T.astype(dt) + p["in_proj_bias"].astype(dt)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     head_dim = c // n_heads
 
@@ -85,19 +90,24 @@ def _attention(p: Params, x, n_heads: int, attn_mask=None):
         return t.reshape(n, l, n_heads, head_dim).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    scores = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(head_dim)
+    scores = (q @ k.transpose(0, 1, 3, 2)).astype(jnp.float32) / np.sqrt(
+        head_dim)
     if attn_mask is not None:
         scores = scores + attn_mask
-    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
     out = (attn @ v).transpose(0, 2, 1, 3).reshape(n, l, c)
-    return out @ p["out_proj"]["weight"].T + p["out_proj"]["bias"]
+    return out @ p["out_proj"]["weight"].T.astype(dt) \
+        + p["out_proj"]["bias"].astype(dt)
 
 
 def _resblock(p: Params, x, n_heads: int, attn_mask=None):
+    dt = x.dtype
     x = x + _attention(p["attn"], layer_norm(p["ln_1"], x), n_heads, attn_mask)
     y = layer_norm(p["ln_2"], x)
-    y = quick_gelu(y @ p["mlp"]["c_fc"]["weight"].T + p["mlp"]["c_fc"]["bias"])
-    y = y @ p["mlp"]["c_proj"]["weight"].T + p["mlp"]["c_proj"]["bias"]
+    y = quick_gelu(y @ p["mlp"]["c_fc"]["weight"].T.astype(dt)
+                   + p["mlp"]["c_fc"]["bias"].astype(dt))
+    y = y @ p["mlp"]["c_proj"]["weight"].T.astype(dt) \
+        + p["mlp"]["c_proj"]["bias"].astype(dt)
     return x + y
 
 
@@ -131,34 +141,45 @@ def encode_image(
     normalize: bool = True,
     preprocess: bool = True,
     return_hidden: Sequence[int] = (),
+    dtype: Optional[Any] = None,
 ) -> Tuple[jax.Array, Dict[int, jax.Array]]:
     """Images -> (embedding [N, embed_dim], {layer: tokens [N, L, C]}).
 
     `return_hidden` layers yield the resblock output tokens with the CLS
     token removed — the reference DiFa 'token' facet hook
     (trainers.py:1057-1061).
+
+    ``dtype`` (e.g. jnp.bfloat16) runs the tower's matmuls in that
+    precision — LayerNorms, attention softmax and the returned embedding /
+    tokens stay float32 (the CLIP fp16 training recipe; the MXU runs bf16
+    several times faster than fp32).  None = float32 throughout (matches
+    the reference's `.float()`-ed towers bitwise-closely).
     """
     v = params["visual"]
     x = images
     if preprocess:
         x = preprocess_image(x, cfg.image_resolution)
+    if dtype is not None:
+        x = x.astype(dtype)
     x = jax.lax.conv_general_dilated(
         x, v["conv1"]["weight"].astype(x.dtype),
         window_strides=(cfg.vision_patch_size,) * 2, padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
     n = x.shape[0]
     x = x.reshape(n, cfg.vision_width, -1).transpose(0, 2, 1)  # [N, L, C]
-    cls = jnp.broadcast_to(v["class_embedding"], (n, 1, cfg.vision_width))
+    cls = jnp.broadcast_to(v["class_embedding"].astype(x.dtype),
+                           (n, 1, cfg.vision_width))
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + v["positional_embedding"]
+    x = x + v["positional_embedding"].astype(x.dtype)
     x = layer_norm(v["ln_pre"], x)
     x, hidden = _transformer(v["transformer"], x, cfg.vision_heads,
                              return_hidden=return_hidden)
-    pooled = layer_norm(v["ln_post"], x[:, 0])
-    emb = pooled @ v["proj"]
+    pooled = layer_norm(v["ln_post"], x[:, 0]).astype(jnp.float32)
+    emb = pooled @ v["proj"].astype(jnp.float32)
     if normalize:
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-    hidden = {i: h[:, 1:] for i, h in hidden.items()}   # drop CLS token
+    # drop CLS token; tokens consumed by float32 losses
+    hidden = {i: h[:, 1:].astype(jnp.float32) for i, h in hidden.items()}
     return emb, hidden
 
 

@@ -19,11 +19,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _safe_normalize(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """x / max(||x||, ~eps) with a NaN-free VJP at x == 0.
+
+    torch.cosine_similarity clamps the norms at eps=1e-8, which keeps its
+    backward finite at a zero vector.  That case is reachable here: with
+    zero-initialized offsets the trainable and frozen generator paths are
+    BITWISE equal under bf16, so the CLIP edit direction is exactly 0 on
+    the first step (fp32 only escapes through hook-vs-no-hook op-order
+    asymmetry).  norm = sqrt(sum(x^2) + eps^2) gives the same clamp scale
+    with a finite gradient; Adam normalizes the large first-step gradient
+    to an O(lr) update exactly as it does for the reference."""
+    return x / jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+                        + eps * eps)
+
+
 def cosine_loss(x: jax.Array, y: jax.Array) -> jax.Array:
     """1 - cosine_similarity (loss_utils.py:6-7)."""
-    xn = x / jnp.linalg.norm(x, axis=-1, keepdims=True).clip(1e-12)
-    yn = y / jnp.linalg.norm(y, axis=-1, keepdims=True).clip(1e-12)
-    return 1.0 - jnp.sum(xn * yn, axis=-1)
+    return 1.0 - jnp.sum(_safe_normalize(x) * _safe_normalize(y), axis=-1)
 
 
 def tril_mask(n: int) -> np.ndarray:
@@ -114,8 +127,8 @@ def difa_local_loss(cb):
     if style.ndim == 2:
         style = style[None]
     style = jnp.broadcast_to(style, (b,) + style.shape[1:])
-    tgt = tgt / jnp.linalg.norm(tgt, axis=-1, keepdims=True)
-    style = style / jnp.linalg.norm(style, axis=-1, keepdims=True)
+    tgt = _safe_normalize(tgt)
+    style = _safe_normalize(style)
     attn = jnp.einsum("bnc,bmc->bnm", tgt, style)
     cost = 1.0 - attn
     row = jnp.mean(jnp.min(cost, axis=2), axis=1)

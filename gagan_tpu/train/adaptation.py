@@ -55,6 +55,11 @@ class AdaptationConfig:
     auto_layer_iters: int = 0
     auto_layer_batch: int = 8
     auto_layer_k: int = 10
+    # Compute dtype for the frozen CLIP towers during training steps:
+    # "bfloat16" (TPU default — LayerNorms/softmax/embeddings stay float32,
+    # see clip.model.encode_image) or "float32" for bitwise parity with the
+    # reference's .float()-ed towers.
+    clip_dtype: str = "bfloat16"
     loss: al.DirectLossConfig = dataclasses.field(
         default_factory=al.DirectLossConfig)
     log_every: int = 10
@@ -151,8 +156,10 @@ class AdaptationTrainer:
         if cparams is None:
             cparams = own_params
         img = jnp.clip(images * 127.5 + 128, 0, 255)
+        dtype = (jnp.bfloat16 if self.cfg.clip_dtype == "bfloat16" else None)
         return clip_model.encode_image(ccfg, cparams, img,
-                                       return_hidden=return_hidden)
+                                       return_hidden=return_hidden,
+                                       dtype=dtype)
 
     def _prepare_constants(self):
         """Style-image CLIP embeddings and DiFa style tokens (im2im)."""

@@ -18,8 +18,22 @@ jax.config.update("jax_platforms", "cpu")
 # Parity tests compare against float32 torch-CPU oracles.
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Cache compiled executables across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# Cache compiled executables across test runs.  XLA:CPU AOT entries embed
+# the BUILD host's CPU features and this VM migrates between hosts — loading
+# a stale entry risks SIGILL/bad code, so key the directory by the current
+# host's CPU feature set.
+def _cpu_cache_dir():
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return "/tmp/jax_cache_" + hashlib.md5(flags.encode()).hexdigest()[:10]
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
