@@ -129,6 +129,64 @@ def build_packed_upconv(w: jax.Array, f: jax.Array) -> jax.Array:
     return wp
 
 
+def build_packed_conv2x2(w: jax.Array) -> jax.Array:
+    """Minimal-FLOP packed stride-1 3x3 correlation kernel (see
+    :func:`conv_packed_3x3_cells`).
+
+    w: [O, I, 3, 3] -> Wp [4O, 4I, 2, 2].  The dense [4O, 4I, 3, 3] form
+    built by :func:`build_packed_conv3x3` is 75% structural zeros (4x the
+    useful FLOPs on the MXU, which cannot skip them); restricting each
+    output cell to its true 2x2 coarse support and re-aligning the cells by
+    output slicing cuts that to 16/9.
+
+    Derivation (per axis): y[2h'+i] = sum_a w[a] x[2h'+i+a-1]; with input
+    cell p at coarse n', the coarse offset is e = (i+a-1-p)/2 in {-1, 0} for
+    i=0 and {0, 1} for i=1.  A single pad-(1,1) size-2 window conv covers
+    both: cell i reads its outputs at slice offset i, window tap t maps to
+    e = t - 1 + i.
+
+    Measured on v5e (bf16, 32ch packed @ 512): despite 2.25x fewer useful
+    FLOPs this form is 0.67x the dense :func:`build_packed_conv3x3` path
+    fwd (0.68x fwd+bwd) — the four shifted output slices + concat cost more
+    HBM traffic than the structural zeros cost MXU time.  Kept as a
+    correct, parity-tested alternative; the dense form stays the default.
+    """
+    out_ch, in_ch = w.shape[0], w.shape[1]
+    # taps[i][(p, t)] = a
+    ax = {0: {(0, 1): 1, (1, 0): 0, (1, 1): 2},
+          1: {(0, 0): 0, (0, 1): 2, (1, 0): 1}}
+    wp = jnp.zeros((4 * out_ch, 4 * in_ch, 2, 2), dtype=w.dtype)
+    for i in range(2):
+        for j in range(2):
+            for (py, ty), ay in ax[i].items():
+                for (px, tx), axx in ax[j].items():
+                    wp = wp.at[
+                        (i * 2 + j) * out_ch:(i * 2 + j + 1) * out_ch,
+                        (py * 2 + px) * in_ch:(py * 2 + px + 1) * in_ch,
+                        ty, tx,
+                    ].set(w[:, :, ay, axx])
+    return wp
+
+
+def conv_packed_3x3_cells(xp: jax.Array, wp: jax.Array) -> jax.Array:
+    """Apply a :func:`build_packed_conv2x2` kernel: pad-(1,1) 2x2 conv, then
+    re-align each output cell by its (i, j) slice and re-concatenate.
+
+    conv_packed_3x3_cells(pack(x), build_packed_conv2x2(w)) ==
+    pack(conv2d(x, w, padding=1)), fp-exact up to reassociation (the same
+    nine products per output element, summed in window order).
+    """
+    out_ch = wp.shape[0] // 4
+    y = jax.lax.conv_general_dilated(
+        xp, wp.astype(xp.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    h, w_ = y.shape[2] - 1, y.shape[3] - 1
+    cells = [y[:, (i * 2 + j) * out_ch:(i * 2 + j + 1) * out_ch,
+               i:h + i, j:w_ + j]
+             for i in range(2) for j in range(2)]
+    return jnp.concatenate(cells, axis=1)
+
+
 def _kernel_conv2d(a: jax.Array, k2: jax.Array) -> jax.Array:
     """Full 2D convolution of per-(O,I) kernels a [O,I,ka,ka] with a small
     2D tap array k2 [kb,kb] -> [O,I,ka+kb-1,ka+kb-1]."""

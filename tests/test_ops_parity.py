@@ -187,3 +187,26 @@ def test_modulated_conv2d_fused_equivalence():
     got = np.asarray(ops.modulated_conv2d(
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(s), padding=1))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_conv2x2_parity():
+    # Minimal-FLOP packed stride-1 3x3: the pad-(1,1) 2x2-window kernel with
+    # per-cell output slices must reproduce pack(conv2d(x, w, pad 1))
+    # (fp-exact up to reassociation — the window summation order differs).
+    import jax
+
+    from gagan_tpu.ops import packed as pk
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 5, 16, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 5, 3, 3).astype(np.float32))
+    ref = pk.pack(jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW")))
+    got = pk.conv_packed_3x3_cells(pk.pack(x), pk.build_packed_conv2x2(w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # and it matches the dense 3x3 packed form
+    old = pk.conv_packed(pk.pack(x), pk.build_packed_conv3x3(w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(old),
+                               rtol=1e-5, atol=1e-5)
