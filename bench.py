@@ -190,7 +190,7 @@ def bench_train():
     steps, state = bt.build(
         1024, batch, aug=True, fmaps=1.0, remat=False, packed=True,
         accum=4, reg_accum=2, g_reg_accum=2, d_reg_accum=4, reg_remat=True,
-        reuse_fakes=True)
+        reuse_fakes=True, reg_remat_selective=True)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3), (batch, 3, 1024, 1024))

@@ -29,7 +29,7 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           reg_remat: bool = False, packed_blocks: int = 1,
           fp16_res: int = 4, reuse_fakes: bool = False,
           packed_head_blocks: int = 1, remat_min_res: int = None,
-          accum_scan: bool = True):
+          accum_scan: bool = True, reg_remat_selective: bool = False):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -83,6 +83,18 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
     steps = {}
     for name, (do_g, do_d) in {"none": (False, False), "greg": (True, False),
                                "both": (True, True)}.items():
+        if reg_remat_selective and do_d:
+            # Main + Greg phases keep the fast un-remat'd configs; only the
+            # d_reg (R1) phase inside the step runs the remat'd D.  The
+            # program peak is the max over the sequential phases, so this
+            # fits whenever both the 'none' step and the remat'd R1 fit.
+            steps[name] = jax.jit(
+                ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx,
+                                   augment_fn=augment_fn,
+                                   do_g_reg=do_g, do_d_reg=do_d,
+                                   reg_d_cfg=both_d_cfg),
+                donate_argnums=(0,))
+            continue
         v_g, v_d = (both_g_cfg, both_d_cfg) if do_d else (g_cfg, d_cfg)
         steps[name] = jax.jit(
             ts.make_fused_step(cfg, v_g, v_d, g_tx, d_tx,
@@ -107,6 +119,9 @@ def main():
     ap.add_argument("--d-reg-accum", type=int, default=None)
     ap.add_argument("--reg-remat", action="store_true",
                     help="remat only the R1 phase (use with --no-remat)")
+    ap.add_argument("--reg-remat-selective", action="store_true",
+                    help="with --reg-remat: inside the 'both' step keep the "
+                         "main/Greg phases un-remat'd and remat only d_reg")
     ap.add_argument("--packed-blocks", type=int, default=1)
     ap.add_argument("--packed-head-blocks", type=int, default=1,
                     help="leading D blocks on the packed grid")
@@ -147,7 +162,8 @@ def main():
                          reuse_fakes=args.simultaneous,
                          packed_head_blocks=args.packed_head_blocks,
                          remat_min_res=args.remat_min_res,
-                         accum_scan=not args.no_accum_scan)
+                         accum_scan=not args.no_accum_scan,
+                         reg_remat_selective=args.reg_remat_selective)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
