@@ -29,7 +29,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           reg_remat: bool = False, packed_blocks: int = 1,
           fp16_res: int = 4, reuse_fakes: bool = False,
           packed_head_blocks: int = 1, remat_min_res: int = None,
-          accum_scan: bool = True, reg_remat_selective: bool = False):
+          accum_scan: bool = True, reg_remat_selective: bool = False,
+          d_fp16_res: int = None):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -45,7 +46,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
             remat=remat, remat_min_res=remat_min_res))
     d_cfg = sg2.DiscriminatorConfig(
         img_resolution=res, channel_base=int(fmaps * 32768), channel_max=512,
-        num_fp16_res=fp16_res, conv_clamp=256,
+        num_fp16_res=d_fp16_res if d_fp16_res is not None else fp16_res,
+        conv_clamp=256,
         mbstd_group_size=min(batch, 4),
         packed_first_block=packed and res >= 64,
         packed_head_blocks=packed_head_blocks, remat=remat,
@@ -127,6 +129,8 @@ def main():
                     help="leading D blocks on the packed grid")
     ap.add_argument("--fp16-res", type=int, default=4,
                     help="bf16 for the N highest resolutions (9 = all)")
+    ap.add_argument("--d-fp16-res", type=int, default=None,
+                    help="override --fp16-res for the discriminator only")
     ap.add_argument("--remat-min-res", type=int, default=None,
                     help="remat only blocks at res >= this (with --no-remat)")
     ap.add_argument("--no-accum-scan", action="store_true",
@@ -163,7 +167,8 @@ def main():
                          packed_head_blocks=args.packed_head_blocks,
                          remat_min_res=args.remat_min_res,
                          accum_scan=not args.no_accum_scan,
-                         reg_remat_selective=args.reg_remat_selective)
+                         reg_remat_selective=args.reg_remat_selective,
+                         d_fp16_res=args.d_fp16_res)
 
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
