@@ -262,12 +262,19 @@ class AdaptationTrainer:
             else:
                 for name in cfg.visual_encoders:
                     hidden_layers = ((cfg.clip_layer,) if want_tokens else ())
-                    trg_enc, trg_hid = self._encode(name, trainable_img,
-                                                    hidden_layers,
-                                                    clip_params[name])
-                    src_enc, src_hid = self._encode(name, frozen_img,
-                                                    hidden_layers,
-                                                    clip_params[name])
+                    # One batched tower pass over [trainable; frozen]: the
+                    # ViT is batch-independent, so this is bit-identical to
+                    # two calls, and at batch 4 the towers are latency-bound
+                    # — halving the pass count cuts real step time.
+                    both_enc, both_hid = self._encode(
+                        name, jnp.concatenate([trainable_img, frozen_img],
+                                              axis=0),
+                        hidden_layers, clip_params[name])
+                    trg_enc, src_enc = jnp.split(both_enc, 2, axis=0)
+                    trg_hid = {k: v[: v.shape[0] // 2]
+                               for k, v in both_hid.items()}
+                    src_hid = {k: v[v.shape[0] // 2:]
+                               for k, v in both_hid.items()}
                     emb = emb_all[name]
                     cb = {
                         "trg_encoded": trg_enc,

@@ -141,6 +141,10 @@ def main():
                     help="comma subset of none,greg,both — measure fewer "
                          "step variants (skips their compiles; amortized "
                          "sec/kimg is only printed for the full set)")
+    ap.add_argument("--rng-impl", default=None,
+                    choices=["threefry2x32", "rbg"],
+                    help="jax_default_prng_impl for the step's in-jit draws "
+                         "(noise layers + augment); rbg is cheaper on TPU")
     ap.add_argument("--flops", action="store_true",
                     help="report XLA cost-analysis FLOPs per variant and "
                          "achieved TFLOP/s (MFU vs the v5e 197 TF/s bf16 "
@@ -170,6 +174,8 @@ def main():
                          reg_remat_selective=args.reg_remat_selective,
                          d_fp16_res=args.d_fp16_res)
 
+    if args.rng_impl:
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
     key = jax.random.PRNGKey(2)
     real = jax.random.normal(jax.random.PRNGKey(3),
                              (args.batch, 3, args.res, args.res))
