@@ -94,6 +94,14 @@ CFG_SPECS = {
 @click.option("--packed-head-blocks", type=int, default=1, show_default=True,
               help="Leading D blocks on the packed grid (res>=64; "
                    "0 disables packing)")
+@click.option("--ga-threshold", type=float, default=None,
+              help="GA-GAN in-training refinement: fakes whose "
+                   "|D(real)-D(fake)| < threshold are replaced by GA "
+                   "offspring before the D step (reference "
+                   "training_loop.py:199 threshold kwarg; default off)")
+@click.option("--ga-mutation-rate", type=float, default=0.1,
+              show_default=True,
+              help="GA offspring mutation rate (with --ga-threshold)")
 @click.option("--dry-run", is_flag=True)
 def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
          mirror,
@@ -101,7 +109,8 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
          lrate, glrate,
          dlrate, use_domain_modulation, domain_modulation_parametrization,
          generator_requires_grad_parts, snap, seed, phase_schedule,
-         packed_tail_blocks, packed_head_blocks, dry_run):
+         packed_tail_blocks, packed_head_blocks, ga_threshold,
+         ga_mutation_rate, dry_run):
     """Train a StyleGAN2 (optionally domain-adapted) model on TPU."""
     import jax
 
@@ -215,7 +224,9 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
         loss=gan_loss.GANLossConfig(r1_gamma=spec["gamma"]),
         g_requires_grad_parts=g_parts,
         freeze_d_layers=freezed,
-        simultaneous_main=(phase_schedule == "simultaneous"))
+        simultaneous_main=(phase_schedule == "simultaneous"),
+        ga_threshold=ga_threshold,
+        ga_mutation_rate=ga_mutation_rate)
 
     augment_cfg = None
     if aug != "noaug":

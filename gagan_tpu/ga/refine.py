@@ -74,8 +74,13 @@ def apply_genetic_refinement(
     mutation_rate: float = 0.1,
     encoder_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     hooks=None,
+    return_mask: bool = False,
 ) -> jax.Array:
-    """Returns fakes with near-boundary samples replaced by GA offspring."""
+    """Returns fakes with near-boundary samples replaced by GA offspring.
+
+    With ``return_mask=True`` also returns the [N] replacement mask so the
+    training step can report the replaced fraction (`Loss/ga/replaced`).
+    """
     d_real = sg2.discriminator_apply(d_cfg, d_params, real_img)[:, 0]
     d_fake = sg2.discriminator_apply(d_cfg, d_params, fake_img)[:, 0]
     mask = jnp.abs(d_real - d_fake) < threshold            # [N]
@@ -95,4 +100,7 @@ def apply_genetic_refinement(
     new_imgs = sg2.synthesis_apply(
         g_cfg.synthesis, g_params["synthesis"], children,
         noise_mode="random", rng=k_noise, hooks=hooks)
-    return jnp.where(mask[:, None, None, None], new_imgs, fake_img)
+    out = jnp.where(mask[:, None, None, None], new_imgs, fake_img)
+    if return_mask:
+        return out, mask
+    return out

@@ -24,7 +24,9 @@ def register_metric(fn):
     return fn
 
 
-_PARAMETRIC = re.compile(r"^fid([0-9]+)k$")
+# Parametric families: fid<N>k / kid<N>k for any N (reference
+# metric_main.py:214-224 registers fid<N>k dynamically; kid5k at :146).
+_PARAMETRIC = re.compile(r"^(fid|kid)([0-9]+)k$")
 
 
 def is_valid_metric(metric: str) -> bool:
@@ -41,8 +43,11 @@ def calc_metric(metric: str, **kwargs) -> Dict[str, Any]:
     start_time = time.time()
     m = _PARAMETRIC.match(metric)
     if m and metric not in _metric_dict:
-        n = int(m.group(1)) * 1000
-        results = {metric: _fid_parametric(opts, n)["fid"]}
+        kind, n = m.group(1), int(m.group(2)) * 1000
+        if kind == "fid":
+            results = {metric: _fid_parametric(opts, n)["fid"]}
+        else:
+            results = {metric: _kid_parametric(opts, n)["kid"]}
     else:
         results = _metric_dict[metric](opts)
     total_time = time.time() - start_time
@@ -79,6 +84,12 @@ def _fid_parametric(opts, num):
     return {"fid": fid_lib.compute_fid(opts, max_real=None, num_gen=num)}
 
 
+def _kid_parametric(opts, num):
+    from gagan_tpu.metrics import kid as kid_lib
+
+    return {"kid": kid_lib.compute_kid(opts, max_real=num, num_gen=num)}
+
+
 @register_metric
 def fid50k_full(opts):
     from gagan_tpu.metrics import fid as fid_lib
@@ -108,6 +119,14 @@ def fid5k(opts):
     from gagan_tpu.metrics import fid as fid_lib
 
     return {"fid5k": fid_lib.compute_fid(opts, max_real=5000, num_gen=5000)}
+
+
+@register_metric
+def kid5k(opts):
+    """(reference metric_main.py:146-152)"""
+    from gagan_tpu.metrics import kid as kid_lib
+
+    return {"kid5k": kid_lib.compute_kid(opts, max_real=5000, num_gen=5000)}
 
 
 @register_metric

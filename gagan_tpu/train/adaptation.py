@@ -370,7 +370,16 @@ class AdaptationTrainer:
             scores, self.g_cfg.synthesis.layer_names(), cfg.auto_layer_k)
         return auto_layers.layer_grad_mask(self.offsets, chosen)
 
-    def train_step(self) -> Dict[str, float]:
+    def train_step_async(self) -> Dict[str, jax.Array]:
+        """One adaptation step; losses stay ON DEVICE (no host sync).
+
+        Through the axon tunnel a device->host fetch costs a full
+        round-trip (~2x the step's compute at batch 4), so the training
+        loop dispatches steps back-to-back and fetches losses only on the
+        log cadence (cfg.log_every) — JAX's async dispatch pipelines the
+        in-flight steps.  Call `jax.device_get` on the returned dict (or
+        use `train_step`) when the values are needed on host.
+        """
         cfg = self.cfg
         self.key, k_step, k_auto = jax.random.split(self.key, 3)
         mask = (self._auto_layer_mask(k_auto) if cfg.auto_layer_iters > 0
@@ -380,8 +389,12 @@ class AdaptationTrainer:
             self.scc_state, jnp.asarray(self.current_step, jnp.float32),
             mask)
         self.current_step += 1
+        return losses
+
+    def train_step(self) -> Dict[str, float]:
         # One bulk transfer (each float() would pay a round-trip).
-        return {k: float(v) for k, v in jax.device_get(losses).items()}
+        return {k: float(v)
+                for k, v in jax.device_get(self.train_step_async()).items()}
 
     def train(self, log_fn: Optional[Callable] = None,
               checkpoint_dir: Optional[str] = None) -> Params:
@@ -389,8 +402,10 @@ class AdaptationTrainer:
         from gagan_tpu.utils.config import to_dict
 
         for step_idx in range(self.cfg.iter_num):
-            losses = self.train_step()
+            losses_dev = self.train_step_async()
             if log_fn is not None and step_idx % self.cfg.log_every == 0:
+                losses = {k: float(v)
+                          for k, v in jax.device_get(losses_dev).items()}
                 log_fn(step_idx, losses)
             if (checkpoint_dir and
                     (step_idx + 1) % self.cfg.checkpoint_every == 0):

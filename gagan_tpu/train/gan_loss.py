@@ -171,6 +171,42 @@ def g_pl_loss(
     return loss, metrics
 
 
+def _ga_refine_fakes(
+    g_cfg: sg2.GeneratorConfig,
+    d_cfg: sg2.DiscriminatorConfig,
+    g_params: Params,
+    d_params: Params,
+    real_img: jax.Array,
+    gen_img: jax.Array,
+    gen_ws: jax.Array,
+    key: jax.Array,
+    ga_threshold: float,
+    ga_mutation_rate: float,
+    hooks,
+) -> Tuple[jax.Array, jax.Array]:
+    """GA refinement of near-boundary fakes before the D step.
+
+    The intended semantics of the reference splice
+    (`DissimilarDomains/training/training_loop.py:392-434`, `threshold`
+    kwarg at `:199`): fakes whose |D(real) - D(fake)| < threshold are
+    replaced by crossed+mutated offspring regenerated through G.  Runs
+    entirely under stop_gradient — like the reference, the GA block is a
+    data transformation outside autograd; the D loss differentiates only
+    through the scoring of the (possibly replaced) fakes.
+    """
+    from gagan_tpu.ga.refine import apply_genetic_refinement
+
+    refined, mask = apply_genetic_refinement(
+        g_cfg, jax.lax.stop_gradient(g_params),
+        d_cfg, jax.lax.stop_gradient(d_params),
+        jax.lax.stop_gradient(real_img), jax.lax.stop_gradient(gen_img),
+        jax.lax.stop_gradient(gen_ws), key,
+        threshold=ga_threshold, mutation_rate=ga_mutation_rate,
+        hooks=hooks, return_mask=True)
+    return jax.lax.stop_gradient(refined), jnp.mean(
+        mask.astype(jnp.float32))
+
+
 def d_main_loss(
     cfg: GANLossConfig,
     g_cfg: sg2.GeneratorConfig,
@@ -185,25 +221,38 @@ def d_main_loss(
     augment_fn: AugmentFn = None,
     ada_p: Optional[jax.Array] = None,
     hooks=None,
+    ga_threshold: Optional[float] = None,
+    ga_mutation_rate: float = 0.1,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Dmain: minimize logits on fakes, maximize on reals (loss.py:115-138)."""
-    k_g, k_aug1, k_aug2 = jax.random.split(key, 3)
-    gen_img, _ = run_G(g_cfg, g_params, z, gen_c, k_g, cfg.style_mixing_prob,
-                       hooks=hooks)
+    """Dmain: minimize logits on fakes, maximize on reals (loss.py:115-138).
+
+    With ``ga_threshold`` set, near-boundary fakes are first replaced by GA
+    offspring (the GA-GAN splice, training_loop.py:392-434 intended
+    semantics) before D scores them.
+    """
+    k_g, k_aug1, k_aug2, k_ga = jax.random.split(key, 4)
+    gen_img, gen_ws = run_G(g_cfg, g_params, z, gen_c, k_g,
+                            cfg.style_mixing_prob, hooks=hooks)
     gen_img = jax.lax.stop_gradient(gen_img)
+    metrics: Dict[str, jax.Array] = {}
+    if ga_threshold is not None:
+        gen_img, replaced = _ga_refine_fakes(
+            g_cfg, d_cfg, g_params, d_params, real_img, gen_img, gen_ws,
+            k_ga, ga_threshold, ga_mutation_rate, hooks)
+        metrics["Loss/ga/replaced"] = replaced
     gen_logits = run_D(d_cfg, d_params, gen_img, gen_c, augment_fn, ada_p, k_aug1)
     loss_Dgen = jnp.mean(softplus(gen_logits))
 
     real_logits = run_D(d_cfg, d_params, real_img, real_c, augment_fn, ada_p,
                         k_aug2)
     loss_Dreal = jnp.mean(softplus(-real_logits))
-    metrics = {
+    metrics.update({
         "Loss/scores/fake": jnp.mean(gen_logits),
         "Loss/signs/fake": jnp.mean(jnp.sign(gen_logits)),
         "Loss/scores/real": jnp.mean(real_logits),
         "Loss/signs/real": jnp.mean(jnp.sign(real_logits)),
         "Loss/D/loss": loss_Dgen + loss_Dreal,
-    }
+    })
     return loss_Dgen + loss_Dreal, metrics
 
 
@@ -221,6 +270,8 @@ def gd_main_loss(
     augment_fn: AugmentFn = None,
     ada_p: Optional[jax.Array] = None,
     hooks=None,
+    ga_threshold: Optional[float] = None,
+    ga_mutation_rate: float = 0.1,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Gmain + Dmain as ONE scalar loss over a SHARED forward.
 
@@ -245,7 +296,7 @@ def gd_main_loss(
     half through the augment VJP, which the split form never computes (reals
     need no image gradient outside R1).
     """
-    k_g, k_aug = jax.random.split(key)
+    k_g, k_aug, k_ga = jax.random.split(key, 3)
     k_aug1, k_aug2 = jax.random.split(k_aug)
     gen_img, gen_ws = run_G(g_cfg, g_params, z, gen_c, k_g,
                             cfg.style_mixing_prob, hooks=hooks)
@@ -257,13 +308,23 @@ def gd_main_loss(
     loss_g = jnp.mean(softplus(-gen_logits_g))
 
     # D route: same fake image, detached (loss.py:115-124 semantics).
-    gen_logits_d = run_D(d_cfg, d_params, jax.lax.stop_gradient(gen_img),
+    # With the GA splice on, near-boundary fakes are replaced by GA
+    # offspring on the D route only (G still learns from its own fakes —
+    # the reference splice feeds refined fakes to the D step).
+    gen_img_d = jax.lax.stop_gradient(gen_img)
+    metrics: Dict[str, jax.Array] = {}
+    if ga_threshold is not None:
+        gen_img_d, replaced = _ga_refine_fakes(
+            g_cfg, d_cfg, g_params, d_params, real_img, gen_img_d, gen_ws,
+            k_ga, ga_threshold, ga_mutation_rate, hooks)
+        metrics["Loss/ga/replaced"] = replaced
+    gen_logits_d = run_D(d_cfg, d_params, gen_img_d,
                          gen_c, augment_fn, ada_p, k_aug1)
     real_logits = run_D(d_cfg, d_params, real_img, real_c, augment_fn,
                         ada_p, k_aug2)
     loss_d = jnp.mean(softplus(gen_logits_d)) + jnp.mean(softplus(-real_logits))
 
-    metrics = {
+    metrics.update({
         "Loss/scores/fake": jnp.mean(gen_logits_d),
         "Loss/signs/fake": jnp.mean(jnp.sign(gen_logits_d)),
         "Loss/scores/real": jnp.mean(real_logits),
@@ -271,7 +332,7 @@ def gd_main_loss(
         "Loss/G/loss": loss_g,
         "Loss/D/loss": loss_d,
         "aux/mean_w": jnp.mean(gen_ws[:, 0].astype(jnp.float32), axis=0),
-    }
+    })
     return loss_g + loss_d, metrics
 
 

@@ -4,9 +4,10 @@ TPU-native re-expression of `DissimilarDomains/training/training_loop.py:163-661
 host-side scheduling of the jit'd phase steps (lazy-reg interval gating),
 tick-cadenced status lines / stats.jsonl, image + network snapshots, ADA p
 heuristic, abort polling, checkpoint resume, and optional in-loop metric
-evaluation.  The GA refinement splice (training_loop.py:392-434) is available
-as an optional hook via gagan_tpu.ga (clean re-implementation of the intended
-semantics; the reference's splice is broken — SURVEY.md §0).
+evaluation.  The GA refinement splice (training_loop.py:392-434) runs inside
+the jitted D phases when `TrainConfig.ga_threshold` is set (clean
+re-implementation of the intended semantics; the reference's splice is
+broken — SURVEY.md §0).
 """
 
 from __future__ import annotations
@@ -75,7 +76,6 @@ def training_loop(
     d_cfg: sg2.DiscriminatorConfig,
     dataset: ImageFolderDataset,
     augment_cfg: Optional[aug.AugmentConfig] = None,
-    ga_refine_fn: Optional[Callable] = None,
     parametrization: Optional[str] = None,
     weight_parts: Tuple[str, ...] = ("all",),
     reg_remat: bool = False,

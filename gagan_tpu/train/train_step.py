@@ -87,6 +87,13 @@ class TrainConfig:
     # the reference's alternating schedule — see gd_main_loss's docstring;
     # set False for reference phase semantics.
     simultaneous_main: bool = False
+    # GA-GAN in-training refinement (the fork's namesake feature,
+    # DissimilarDomains/training/training_loop.py:392-434, threshold kwarg
+    # at :199): when set, fakes whose |D(real)-D(fake)| < ga_threshold are
+    # replaced by crossed+mutated GA offspring before the D step scores
+    # them.  None (default) disables the splice.
+    ga_threshold: Optional[float] = None
+    ga_mutation_rate: float = 0.1
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -344,7 +351,9 @@ def make_phase_steps(
                     _chunk(real_c, main_rounds, r),
                     _chunk(z, main_rounds, r), _chunk(gen_c, main_rounds, r),
                     k, augment_fn=augment_fn, ada_p=state.ada_p,
-                    hooks=make_hooks(offsets))
+                    hooks=make_hooks(offsets),
+                    ga_threshold=cfg.ga_threshold,
+                    ga_mutation_rate=cfg.ga_mutation_rate)
 
             return jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
                                       has_aux=True)(
@@ -387,7 +396,9 @@ def make_phase_steps(
                     _chunk(real_c, main_rounds, r),
                     _chunk(z, main_rounds, r), _chunk(gen_c, main_rounds, r),
                     k, augment_fn=augment_fn, ada_p=state.ada_p,
-                    hooks=make_hooks(state.offsets))
+                    hooks=make_hooks(state.offsets),
+                    ga_threshold=cfg.ga_threshold,
+                    ga_mutation_rate=cfg.ga_mutation_rate)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
 

@@ -61,6 +61,52 @@ def _patch_tiny_loop(monkeypatch):
     return wrapper
 
 
+def test_train_with_ga_splice(tiny_zip, tmp_path, monkeypatch):
+    """GA-GAN in-training refinement reachable from the CLI: a tiny run with
+    --ga-threshold finishes, reports a replaced fraction, and snapshots load
+    (reference training_loop.py:199 threshold kwarg; splice at :392-434)."""
+    from gagan_tpu.train import loop as loop_lib
+    from gagan_tpu.utils import checkpoint as ckpt
+
+    orig = loop_lib.training_loop
+    seen = {}
+
+    def tiny(loop_cfg, train_cfg, *args, **kwargs):
+        loop_cfg.total_kimg = 0.012
+        loop_cfg.kimg_per_tick = 0.004
+        seen["ga_threshold"] = train_cfg.ga_threshold
+        return orig(loop_cfg, train_cfg, *args, **kwargs)
+
+    monkeypatch.setattr(loop_lib, "training_loop", tiny)
+
+    from gagan_tpu.cli import train as train_cli
+
+    outdir = str(tmp_path / "run")
+    runner = CliRunner()
+    result = runner.invoke(train_cli.main, [
+        "--outdir", outdir, "--data", tiny_zip, "--gpus", "1",
+        "--cfg", "cifar", "--batch", "4", "--aug", "noaug", "--snap", "1",
+        "--ga-threshold", "1e9",
+    ], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert seen["ga_threshold"] == 1e9
+
+    # The replaced fraction is logged (threshold=inf replaces every fake).
+    with open(os.path.join(outdir, "stats.jsonl")) as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    assert lines
+    replaced = [l["Loss/ga/replaced"] for l in lines
+                if "Loss/ga/replaced" in l]
+    assert replaced and all(r == 1.0 for r in replaced)
+
+    # Snapshot written and loadable.
+    snaps = sorted(f for f in os.listdir(outdir)
+                   if f.startswith("network-snapshot"))
+    assert snaps
+    trees, cfg = ckpt.load_snapshot(os.path.join(outdir, snaps[-1]))
+    assert "G" in trees and "D" in trees
+
+
 def test_train_dry_run(tiny_zip, tmp_path):
     from gagan_tpu.cli import train as train_cli
 

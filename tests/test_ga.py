@@ -127,6 +127,50 @@ def test_genetic_refinement_replaces_only_masked(tiny_gd):
     np.testing.assert_array_equal(np.asarray(out_none), np.asarray(fake))
 
 
+def test_ga_splice_wired_into_train_step(tiny_gd):
+    """TrainConfig.ga_threshold reaches the jitted D phases: the replaced
+    fraction is reported, threshold=inf replaces everything, and
+    threshold=0 is bit-identical to GA off (reference training_loop.py:199
+    threshold kwarg; splice at :392-434)."""
+    from gagan_tpu.train import gan_loss, train_step as ts
+
+    g_cfg, g_params, d_cfg, d_params = tiny_gd
+    real = jax.random.normal(jax.random.PRNGKey(10), (4, 3, 16, 16))
+    z = jax.random.normal(jax.random.PRNGKey(11), (4, 16))
+    key = jax.random.PRNGKey(12)
+
+    for simultaneous in (False, True):
+        def run(thr):
+            cfg = ts.TrainConfig(batch_size=4, ga_threshold=thr,
+                                 simultaneous_main=simultaneous)
+            g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+            state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+            step = jax.jit(ts.make_fused_step(
+                cfg, g_cfg, d_cfg, g_tx, d_tx, do_g_reg=False,
+                do_d_reg=False))
+            return step(state, real, None, z, None, key)
+
+        state_off, m_off = run(None)
+        state_all, m_all = run(1e9)
+        state_none, m_none = run(0.0)
+
+        assert "Loss/ga/replaced" not in m_off
+        assert float(m_all["Loss/ga/replaced"]) == 1.0
+        assert float(m_none["Loss/ga/replaced"]) == 0.0
+        # threshold=0 never replaces: D loss identical to GA off.
+        np.testing.assert_array_equal(np.asarray(m_none["Loss/D/loss"]),
+                                      np.asarray(m_off["Loss/D/loss"]))
+        np.testing.assert_allclose(
+            np.asarray(state_none.d_params["b16"]["conv0"]["weight"]),
+            np.asarray(state_off.d_params["b16"]["conv0"]["weight"]))
+        # threshold=inf replaces all fakes: the D update must differ.
+        assert not np.allclose(
+            np.asarray(state_all.d_params["b16"]["conv0"]["weight"]),
+            np.asarray(state_off.d_params["b16"]["conv0"]["weight"]))
+        for v in m_all.values():
+            assert np.all(np.isfinite(np.asarray(v)))
+
+
 def test_calculate_metrics(tiny_gd):
     rng = np.random.RandomState(0)
     real = jnp.asarray(rng.randint(0, 255, (64, 3, 16, 16), np.uint8))

@@ -179,8 +179,11 @@ def test_calc_metric_registry(tiny_gen_and_data, tmp_path):
 
     assert is_valid_metric("fid50k_full")
     assert is_valid_metric("fid3k")      # parametric family
+    assert is_valid_metric("kid5k")      # registered (ref metric_main.py:146)
+    assert is_valid_metric("kid3k")      # parametric family
     assert is_valid_metric("ppl2_wend")
     assert not is_valid_metric("nope")
+    assert not is_valid_metric("pr3k")
 
     g_cfg, params, dataset = tiny_gen_and_data
     result = calc_metric(
@@ -188,3 +191,7 @@ def test_calc_metric_registry(tiny_gen_and_data, tmp_path):
         detectors={"inception": toy_detector()}, batch_size=8)
     assert "fid1k" in result["results"]
     assert np.isfinite(result["results"]["fid1k"])
+    result = calc_metric(
+        "kid1k", g_params=params, g_cfg=g_cfg, dataset=dataset,
+        detectors={"inception": toy_detector()}, batch_size=8)
+    assert np.isfinite(result["results"]["kid1k"])
