@@ -251,9 +251,19 @@ def bench_adaptation():
     trainer = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
                                    jax.random.PRNGKey(3),
                                    domain_embeddings=emb)
+
+    # Steady-state training cadence: the loop dispatches steps back-to-back
+    # and syncs on the log cadence (cfg.log_every=10, the im2im_difa.yaml
+    # logging protocol) — time blocks of 10 async steps with one sync, like
+    # AdaptationTrainer.train does.
+    def block10():
+        for _ in range(10):
+            losses = trainer.train_step_async()
+        jax.device_get(losses)
+
     with watchdog(1500):
-        trainer.train_step()   # compile
-        dt = _timed(trainer.train_step, n_iters=6)
+        trainer.train_step()   # compile + sync
+        dt = _timed(block10, n_iters=4) / 10.0
     return 1.0 / dt
 
 

@@ -108,6 +108,12 @@ class SynthesisConfig:
     # minority of the FLOPs, so rematting just the tail buys most of the
     # memory at a fraction of the recompute.
     remat_min_res: Optional[int] = None
+    # Run eligible stride-1 3x3 levels through the Pallas fused
+    # modconv+noise+bias_act kernel (ops/pallas_modconv.py): x read once,
+    # y written once.  First-order-differentiable only (custom VJP) — the
+    # training loop disables it on the reg-phase configs (PL double-grad);
+    # layers outside the kernel's shape scope keep the XLA path.
+    pallas_level: bool = False
 
     @property
     def block_resolutions(self) -> List[int]:
@@ -528,6 +534,21 @@ def synthesis_layer_apply(
         ) * lp["noise_strength"]
     elif cfg.use_noise and noise_mode == "const":
         noise = lp["noise_const"] * lp["noise_strength"]
+
+    if (cfg.pallas_level and up == 1 and cfg.activation == "lrelu"
+            and gain == 1.0
+            and (hooks is None or "post" not in hooks.get(layer_name, {}))):
+        from gagan_tpu.ops import pallas_modconv as pmc
+
+        if pmc.supported_shape(x.shape, weight.shape):
+            nz = noise
+            if nz is not None and nz.ndim == 2:      # const buffer [H, W]
+                nz = jnp.broadcast_to(nz[None, None],
+                                      (x.shape[0], 1) + nz.shape)
+            spec_ = activation_funcs[cfg.activation]
+            return pmc.fused_modconv_level(
+                x, weight, styles, lp["bias"], noise=nz,
+                act_gain=spec_.def_gain, clamp=cfg.conv_clamp)
 
     x = modulated_conv2d(
         x, weight, styles,

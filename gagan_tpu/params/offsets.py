@@ -182,6 +182,14 @@ class OffsetsSpec:
         return cls(style=style, weights=weights, affine_weights=affine,
                    weight_parts=weight_parts)
 
+    @property
+    def per_sample_only(self) -> bool:
+        """True when every hook this spec produces acts on PER-SAMPLE
+        tensors (styles / w vectors), never on shared conv weights — the
+        condition under which a frozen and an offsets forward can share one
+        batched synthesis pass via ``make_hooks(batch_select=...)``."""
+        return self.weights is None and self.affine_weights is None
+
     def layer_has_weight_offsets(self, layer_name: str) -> bool:
         if self.weights is None:
             return False
@@ -333,31 +341,48 @@ def _compose_weight_offset(desc: WeightOffsetDesc, layer: Params) -> jax.Array:
     return wo
 
 
-def make_hooks(spec: OffsetsSpec, offsets: Params) -> Dict[str, Dict[str, Any]]:
+def make_hooks(spec: OffsetsSpec, offsets: Params,
+               batch_select=None) -> Dict[str, Dict[str, Any]]:
     """Build the LayerHooks consumed by stylegan2.synthesis_apply.
 
     Application semantics follow `w_to_s` (networks.py:490-527) and
     `weight_to_weight` (networks.py:535-579):
       style mult : s * (1 + offset)        style add : s + offset
       weight mult: (1 + WO) * w            weight add: w + WO
+
+    ``batch_select`` (an [N] bool/float array) gates per-sample hooks so
+    only selected samples receive the offsets — the mechanism behind the
+    joint frozen+trainable synthesis pass (adaptation.py): styles and w
+    vectors are per-sample, so `where(select, hooked, raw)` is exact.
+    Requires ``spec.per_sample_only`` (weight offsets are batch-shared).
     """
     hooks: Dict[str, Dict[str, Any]] = {}
     w_desc = parse_weight_parametrization(spec.weights) if spec.weights else None
     a_desc = (parse_weight_parametrization(spec.affine_weights)
               if spec.affine_weights else None)
+    if batch_select is not None:
+        assert spec.per_sample_only, (
+            "batch_select requires a per-sample-only (style/w-space) spec; "
+            "weight offsets apply to batch-shared conv weights")
+
+    def gate(fn):
+        if batch_select is None:
+            return fn
+        return lambda s, f=fn: jnp.where(
+            batch_select.astype(jnp.bool_)[:, None], f(s), s)
 
     for name, layer in offsets.items():
         h: Dict[str, Any] = {}
         if spec.style is not None and "offset" in layer:
             off = layer["offset"]
             if spec.style == "multiplicative":
-                h["style"] = lambda s, o=off: (1.0 + o.astype(s.dtype)) * s
+                h["style"] = gate(lambda s, o=off: (1.0 + o.astype(s.dtype)) * s)
             elif spec.style == "additive":
-                h["style"] = lambda s, o=off: s + o.astype(s.dtype)
+                h["style"] = gate(lambda s, o=off: s + o.astype(s.dtype))
             elif spec.style == "multiplicative_w_space":
-                h["w"] = lambda w, o=off: (1.0 + o.astype(w.dtype)) * w
+                h["w"] = gate(lambda w, o=off: (1.0 + o.astype(w.dtype)) * w)
             elif spec.style == "additive_w_space":
-                h["w"] = lambda w, o=off: w + o.astype(w.dtype)
+                h["w"] = gate(lambda w, o=off: w + o.astype(w.dtype))
         if w_desc is not None and any(k.startswith("weights_offset") for k in layer):
             wo = _compose_weight_offset(w_desc, layer)
             if w_desc.additive:

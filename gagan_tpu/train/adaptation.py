@@ -192,7 +192,7 @@ class AdaptationTrainer:
 
     # ------------------------------------------------------------------
 
-    def _run_g(self, params, z, z2, use_mix, hooks, noise_key):
+    def _mixed_ws(self, params, z, z2, use_mix, noise_key):
         """mixing_noise semantics (common.py:83-88): with prob `mixing_noise`
         sample two z's and style-mix at a random crossover."""
         g_cfg = self.g_cfg
@@ -202,12 +202,43 @@ class AdaptationTrainer:
         inject = jax.random.randint(noise_key, (), 1, num_ws)
         layer_idx = jnp.arange(num_ws)[None, :, None]
         ws_mixed = jnp.where(layer_idx < inject, ws1, ws2)
-        ws = jnp.where(use_mix, ws_mixed, ws1)
+        return jnp.where(use_mix, ws_mixed, ws1)
+
+    def _run_g(self, params, z, z2, use_mix, hooks, noise_key):
+        g_cfg = self.g_cfg
+        ws = self._mixed_ws(params, z, z2, use_mix, noise_key)
         img = sg2.synthesis_apply(g_cfg.synthesis, params["synthesis"], ws,
                                   noise_mode="random",
                                   rng=jax.random.fold_in(noise_key, 1),
                                   hooks=hooks)
         return img
+
+    def _run_g_pair(self, params, offsets, z, z2, use_mix, noise_key):
+        """(frozen_img, trainable_img) via ONE batched synthesis pass.
+
+        Per-sample-only specs (style/w-space) let the frozen and the
+        offsets forward share one 2N-batch synthesis: the offset hooks are
+        gated to the second half (make_hooks batch_select), which is exact
+        because styles are per-sample.  At adaptation batch sizes the
+        1024² synthesis is latency-bound — batch 2N costs the same wall
+        time as batch N (measured: 66.7 vs 62.9 ms at N=4), so this
+        removes an entire generator forward from the step.  The two halves
+        draw independent per-layer noise, like the reference's two
+        sequential generator calls under torch's global RNG
+        (trainers.py:389/473 forward_source/forward_trainable).
+        """
+        g_cfg = self.g_cfg
+        batch = z.shape[0]
+        ws = self._mixed_ws(params, z, z2, use_mix, noise_key)
+        sel = jnp.concatenate([jnp.zeros((batch,), jnp.bool_),
+                               jnp.ones((batch,), jnp.bool_)])
+        hooks = offs_lib.make_hooks(self.spec, offsets, batch_select=sel)
+        both = sg2.synthesis_apply(
+            g_cfg.synthesis, params["synthesis"],
+            jnp.concatenate([ws, ws], axis=0), noise_mode="random",
+            rng=jax.random.fold_in(noise_key, 1), hooks=hooks)
+        frozen_img = jax.lax.stop_gradient(both[:batch])
+        return frozen_img, both[batch:]
 
     def _build_step(self):
         cfg = self.cfg
@@ -228,10 +259,14 @@ class AdaptationTrainer:
             clip_params = frozen["clip"]
             emb_all = frozen["emb"]
             hooks = offs_lib.make_hooks(spec, offsets)
-            frozen_img = jax.lax.stop_gradient(
-                self._run_g(g_params, z, z2, use_mix, None, key))
-            trainable_img = self._run_g(g_params, z, z2, use_mix, hooks,
-                                        key)
+            if spec.per_sample_only:
+                frozen_img, trainable_img = self._run_g_pair(
+                    g_params, offsets, z, z2, use_mix, key)
+            else:
+                frozen_img = jax.lax.stop_gradient(
+                    self._run_g(g_params, z, z2, use_mix, None, key))
+                trainable_img = self._run_g(g_params, z, z2, use_mix, hooks,
+                                            key)
 
             clip_data: Dict[str, Dict[str, jax.Array]] = {}
             rec_data: Dict[str, jax.Array] = {}

@@ -163,12 +163,21 @@ def training_loop(
     r1_d_cfg = None
     if reg_remat:
         r1_d_cfg = dataclasses.replace(d_cfg, remat=True)
+    # The Pallas fused level's custom VJP is first-order only: PL-reg
+    # differentiates the synthesis VJP again, so the Greg phase gets a
+    # config with the fused path disabled (XLA path, exact double grads).
+    pl_g_cfg = None
+    if g_cfg.synthesis.pallas_level:
+        pl_g_cfg = dataclasses.replace(
+            g_cfg, synthesis=dataclasses.replace(
+                g_cfg.synthesis, pallas_level=False))
     steps = {}
     for do_g in (False, True):
         for do_d in (False, True):
             steps[(do_g, do_d)] = jax.jit(ts.make_fused_step(
                 train_cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn=augment_fn,
                 do_g_reg=do_g, do_d_reg=do_d,
+                reg_g_cfg=pl_g_cfg if do_g else None,
                 reg_d_cfg=r1_d_cfg if do_d else None,
                 offsets_spec=offsets_spec, offsets_tx=offsets_tx),
                 donate_argnums=(0,))

@@ -134,6 +134,52 @@ def tiny_setup():
     return g_cfg, g_params, {"ViT-B/32": (ccfg, cparams)}
 
 
+def test_joint_pair_pass_matches_separate(tiny_setup):
+    """The batched frozen+trainable synthesis (make_hooks batch_select)
+    is exact: the first half equals the hook-free forward and the second
+    half equals the hooked forward, bit-for-bit under const noise."""
+    from gagan_tpu.params import offsets as offs_lib
+
+    g_cfg, g_params, _ = tiny_setup
+    for parametrization in ("s_delta", "additive", "multiplicative",
+                            "w_delta"):
+        spec = offs_lib.OffsetsSpec.from_string(parametrization)
+        assert spec.per_sample_only
+        offsets = offs_lib.init_offsets(jax.random.PRNGKey(7),
+                                        g_cfg.synthesis, spec)
+        # Non-zero offsets so the halves genuinely differ.
+        offsets = jax.tree.map(
+            lambda x: x + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(8), x.shape), offsets)
+        ws = sg2.mapping_apply(
+            g_cfg.mapping, g_params["mapping"],
+            jax.random.normal(jax.random.PRNGKey(9), (3, 32)))
+        sel = jnp.concatenate([jnp.zeros((3,), jnp.bool_),
+                               jnp.ones((3,), jnp.bool_)])
+        joint = sg2.synthesis_apply(
+            g_cfg.synthesis, g_params["synthesis"],
+            jnp.concatenate([ws, ws], axis=0), noise_mode="const",
+            hooks=offs_lib.make_hooks(spec, offsets, batch_select=sel))
+        plain = sg2.synthesis_apply(
+            g_cfg.synthesis, g_params["synthesis"], ws, noise_mode="const")
+        hooked = sg2.synthesis_apply(
+            g_cfg.synthesis, g_params["synthesis"], ws, noise_mode="const",
+            hooks=offs_lib.make_hooks(spec, offsets))
+        np.testing.assert_array_equal(np.asarray(joint[:3]),
+                                      np.asarray(plain))
+        np.testing.assert_array_equal(np.asarray(joint[3:]),
+                                      np.asarray(hooked))
+        assert not np.allclose(np.asarray(plain), np.asarray(hooked))
+
+    # Weight-space specs cannot be batch-gated: assert the guard trips.
+    wspec = offs_lib.OffsetsSpec.from_string("out_in_additive")
+    assert not wspec.per_sample_only
+    woffs = offs_lib.init_offsets(jax.random.PRNGKey(7), g_cfg.synthesis,
+                                  wspec)
+    with pytest.raises(AssertionError):
+        offs_lib.make_hooks(wspec, woffs, batch_select=sel)
+
+
 def test_td_single_trains(tiny_setup):
     g_cfg, g_params, encoders = tiny_setup
     rng = np.random.RandomState(0)

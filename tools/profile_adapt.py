@@ -107,6 +107,22 @@ def main():
     t_gbwd = timeit(lambda: gb(offsets), n=n,
                     label="G synth fwd+bwd wrt offsets")
 
+    if spec.per_sample_only:
+        sel = jnp.concatenate([jnp.zeros((batch,), jnp.bool_),
+                               jnp.ones((batch,), jnp.bool_)])
+        ws_j = jnp.concatenate([ws, ws], axis=0)
+
+        def joint_loss(o):
+            h = offs_lib.make_hooks(spec, o, batch_select=sel)
+            img = sg2.synthesis_apply(g_cfg.synthesis,
+                                      g_params["synthesis"], ws_j,
+                                      noise_mode="const", hooks=h)
+            return jnp.mean(img.astype(jnp.float32))
+
+        gj = jax.jit(jax.grad(joint_loss))
+        timeit(lambda: gj(offsets), n=n,
+               label="joint pair (2N) fwd+bwd wrt offsets")
+
     # --- CLIP tower components (batch 2x: [trainable; frozen]) ---
     img8 = jax.random.normal(jax.random.PRNGKey(6),
                              (2 * batch, 3, res, res), jnp.float32)
@@ -121,12 +137,24 @@ def main():
             dtype=jnp.bfloat16)[0])
         t_enc = timeit(lambda: enc(cparams, img8), n=n,
                        label=f"{name} encode fwd (batch {2 * batch})")
+        # Tower params travel as an ARGUMENT — a closure would bake ~10^8
+        # literals into the HLO upload (the remote compile service 413s).
         encb = jax.jit(jax.grad(
-            lambda x, p=cparams, c=ccfg: jnp.sum(clip_model.encode_image(
+            lambda x, p, c=ccfg: jnp.sum(clip_model.encode_image(
                 c, p, jnp.clip(x * 127.5 + 128, 0, 255),
-                dtype=jnp.bfloat16)[0].astype(jnp.float32))))
-        timeit(lambda: encb(img8), n=n,
+                dtype=jnp.bfloat16)[0].astype(jnp.float32)), argnums=0))
+        timeit(lambda: encb(img8, cparams), n=n,
                label=f"{name} encode fwd+bwd (batch {2 * batch})")
+        # Same but from a pre-resized 224 input: isolates the 1024->224
+        # bicubic-resize VJP from the tower VJP.
+        img224 = jax.image.resize(img8, img8.shape[:2] + (224, 224),
+                                  "bicubic")
+        encb224 = jax.jit(jax.grad(
+            lambda x, p, c=ccfg: jnp.sum(clip_model.encode_image(
+                c, p, jnp.clip(x * 127.5 + 128, 0, 255),
+                dtype=jnp.bfloat16)[0].astype(jnp.float32)), argnums=0))
+        timeit(lambda: encb224(img224, cparams), n=n,
+               label=f"{name} fwd+bwd from 224 input")
 
     # --- full steps ---
     cfg = ad.AdaptationConfig(
