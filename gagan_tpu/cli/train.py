@@ -102,6 +102,11 @@ CFG_SPECS = {
 @click.option("--ga-mutation-rate", type=float, default=0.1,
               show_default=True,
               help="GA offspring mutation rate (with --ga-threshold)")
+@click.option("--spatial-shard-min-res", type=int, default=None,
+              help="Shard the H axis of >=RES synthesis activations over "
+                   "the mesh (beyond-reference scaling axis: one image "
+                   "spans all chips via XLA halo exchanges; needs >1 "
+                   "device; disables the packed tail on sharded levels)")
 @click.option("--dry-run", is_flag=True)
 def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
          mirror,
@@ -110,7 +115,7 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
          dlrate, use_domain_modulation, domain_modulation_parametrization,
          generator_requires_grad_parts, snap, seed, phase_schedule,
          packed_tail_blocks, packed_head_blocks, ga_threshold,
-         ga_mutation_rate, dry_run):
+         ga_mutation_rate, spatial_shard_min_res, dry_run):
     """Train a StyleGAN2 (optionally domain-adapted) model on TPU."""
     import jax
 
@@ -265,7 +270,8 @@ def main(outdir, data, n_devices, cfg, kimg, batch, batch_gpu, gamma, cond,
         parametrization=(domain_modulation_parametrization
                          if use_domain_modulation else None),
         weight_parts=g_parts,
-        reg_remat=reg_remat)
+        reg_remat=reg_remat,
+        spatial_shard_min_res=spatial_shard_min_res)
 
 
 if __name__ == "__main__":

@@ -161,12 +161,19 @@ def encode_image(
         x = preprocess_image(x, cfg.image_resolution)
     if dtype is not None:
         x = x.astype(dtype)
-    x = jax.lax.conv_general_dilated(
-        x, v["conv1"]["weight"].astype(x.dtype),
-        window_strides=(cfg.vision_patch_size,) * 2, padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    # Patch embedding as extract+matmul rather than a strided conv: the
+    # non-overlapping stride-p pxp conv is exactly a per-patch dot, and the
+    # strided conv's input-VJP (a stride-p conv_transpose onto 3 channels)
+    # lowers terribly on TPU — measured ~68 ms for ViT-B/16 at batch 8 vs
+    # ~0 for the whole 12-layer transformer backward.  The matmul form is
+    # MXU-shaped in both directions and lands directly in [N, L, C] layout.
     n = x.shape[0]
-    x = x.reshape(n, cfg.vision_width, -1).transpose(0, 2, 1)  # [N, L, C]
+    p = cfg.vision_patch_size
+    g = cfg.image_resolution // p
+    xp = x.reshape(n, 3, g, p, g, p).transpose(0, 2, 4, 1, 3, 5)
+    xp = xp.reshape(n, g * g, 3 * p * p)
+    w1 = v["conv1"]["weight"].astype(x.dtype).reshape(cfg.vision_width, -1)
+    x = xp @ w1.T                                              # [N, L, C]
     cls = jnp.broadcast_to(v["class_embedding"].astype(x.dtype),
                            (n, 1, cfg.vision_width))
     x = jnp.concatenate([cls, x], axis=1)

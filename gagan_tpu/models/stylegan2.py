@@ -958,9 +958,17 @@ def discriminator_apply(
     img: jax.Array,
     c: Optional[jax.Array] = None,
     force_fp32: bool = False,
+    spatial_constraint=None,
 ) -> jax.Array:
-    """Discriminator forward (reference networks.py:1373-1437)."""
+    """Discriminator forward (reference networks.py:1373-1437).
+
+    ``spatial_constraint`` (parallel.spatial.d_spatial_constraint) is
+    applied to every block input activation — it pins large feature maps
+    H-sharded over the mesh and replicates small ones (required for
+    correctness under spatial sharding; see d_spatial_constraint)."""
     resample_filter = setup_filter(cfg.resample_filter)
+    if spatial_constraint is not None:
+        img = spatial_constraint(img)
 
     def _packed_res_core(block, x, dtype):
         """conv0/conv1/skip of a resnet block on the packed grid
@@ -1081,9 +1089,13 @@ def discriminator_apply(
                 hb = jax.checkpoint(hb, static_argnums=(2,))
             x = hb(block, x, dtype)
             continue
+        if spatial_constraint is not None and x is not None:
+            x = spatial_constraint(x)
         x, img = (d_block_remat if remat_here else d_block)(
             block, x, img, dtype)
 
+    if spatial_constraint is not None:
+        x = spatial_constraint(x)
     cmap = None
     if cfg.c_dim > 0:
         mcfg = dataclasses.replace(

@@ -6,22 +6,25 @@ modulated_conv2d + noise + bias_act, `networks.py:848-922`):
 
     y = act( dcoef_{n,o} * conv3x3( styles_{n,i} * x, W ) + noise + bias )
 
-entirely in VMEM: the style pre-scale, the 9 conv taps (as MXU matmuls over
-the channel dim), the demodulation post-scale, noise add, bias and the
-clamped leaky-ReLU — so x is read ONCE from HBM and y written ONCE.  The
-XLA path (ops/modulated_conv2d.py) materializes the pre-scaled input
-(x read + sx write + sx read) because convolution operands cannot take
-fused producers; at the HBM-bound high-res levels that is the measured
-headroom this kernel targets (IMPLEMENTATION_STATUS.md
+entirely in VMEM, with x read ONCE from HBM and y written ONCE.  The XLA
+path (ops/modulated_conv2d.py) materializes the pre-scaled input because
+convolution operands cannot take fused producers; the backward additionally
+re-reads the saved pre-scaled copy.  This kernel removes those passes — the
+headroom at the HBM-bound high-res levels (IMPLEMENTATION_STATUS.md
 "Training-throughput plan" item 1).
 
-Kernel geometry: images travel as [N, C, H*W] (a free bitcast of NCHW);
-every in-kernel tensor is 2D with H*W (or a TH*W row-tile of it) on the
-lane axis, C on the sublane axis.  The 3x3 taps are 9 static lane
-slices/rolls of a (TH+2)-row window double-buffered from HBM, each
-contracted on the MXU against the [C_out_t, C_in] weight tap.  Column
-wrap-around at image edges is masked; row edges come zero-filled in the
-window.
+Kernel geometry (all Mosaic-friendly):
+* images travel as [N, C, H*W] (a free bitcast of NCHW); every in-kernel
+  tensor is 2D with the row-tile of H*W on the lane axis, C on sublanes;
+* the per-sample modulation/demodulation folds INTO THE WEIGHT TAPS:
+  (d_o * W_oi * s_i) @ x == d * conv(s*x, W) — computed once per grid step
+  on [C_out_t, C_in] tiles, so the inner loop is 9 static-slice matmuls;
+* per-sample rows (styles / dcoefs) arrive via BlockSpec index maps
+  ((n, cot) -> their row), never via dynamic lane indexing;
+* weights are passed tap-major [9, C_out, C_in] (minor dims MXU-tiled;
+  the natural OIHW layout would pad (3,3) minor tiles to (8,128));
+* the x row-window (with one halo row each side) is double-buffered by
+  manual DMA; column wrap-around is masked, row edges are zero-filled.
 
 Scope (asserted by `supported_shape`): kernel 3x3, stride 1, no
 up/downsampling, W a multiple of 128 and channels multiples of the MXU
@@ -125,9 +128,15 @@ def _kernel(styles_ref, dcoefs_ref, bias_ref, w_ref, x_hbm, noise_hbm,
 
     start_x(0, 0)
 
-    s_col = styles_ref[:, pl.ds(n, 1)]                        # [C_in, 1]
-    d_col = dcoefs_ref[pl.ds(cot * CO_T, CO_T), pl.ds(n, 1)]  # [CO_T, 1]
-    b_col = bias_ref[pl.ds(cot * CO_T, CO_T), :]              # [CO_T, 1]
+    # Fold modulation + demodulation into the 9 weight taps, once per
+    # (n, cot) grid step: (d_o W_oi s_i) @ x == d * conv(s * x, W).
+    s_row = styles_ref[:, :]                    # [1, C_in]   (this sample)
+    d_col = dcoefs_ref[0]                       # [CO_T, 1]   (this tile)
+    b_col = bias_ref[:, :]                      # [CO_T, 1]
+    taps = [
+        (w_ref[t] * s_row * d_col).astype(xwin.dtype)   # [CO_T, C_in]
+        for t in range(9)
+    ]
 
     # Wrap masks for the column taps on the flattened lane axis (dx=0
     # reads col w-1: invalid at w=0; dx=2 reads col w+1: invalid at W-1).
@@ -152,27 +161,26 @@ def _kernel(styles_ref, dcoefs_ref, bias_ref, w_ref, x_hbm, noise_hbm,
         def _():
             xwin[slot, :, WIN - W:WIN] = jnp.zeros((C_in, W), xwin.dtype)
 
-        sx = xwin[slot] * s_col.astype(xwin.dtype)            # [C_in, WIN]
-
+        xw = xwin[slot]                                       # [C_in, WIN]
         acc = jnp.zeros((CO_T, THW), jnp.float32)
         for dy in range(3):
-            seg = sx[:, dy * W:dy * W + THW]                  # [C_in, THW]
+            seg = xw[:, dy * W:dy * W + THW]                  # [C_in, THW]
             for dx in range(3):
                 if dx == 1:
-                    tap = seg
+                    tap_x = seg
                 elif dx == 0:
-                    # Read col w-1: roll right by one lane; the wrapped
-                    # (and cross-row) lanes land exactly on masked cols.
-                    tap = jnp.where(mask_l, pltpu.roll(seg, 1, 1), 0.0)
+                    # Read col w-1: roll right one lane; wrapped (and
+                    # cross-row) lanes land exactly on masked cols.
+                    tap_x = jnp.where(mask_l, pltpu.roll(seg, 1, 1), 0.0)
                 else:
-                    tap = jnp.where(mask_r, pltpu.roll(seg, THW - 1, 1), 0.0)
-                w_tap = w_ref[:, :, dy, dx].astype(sx.dtype)  # [CO_T, C_in]
+                    tap_x = jnp.where(mask_r,
+                                      pltpu.roll(seg, THW - 1, 1), 0.0)
                 acc = acc + jax.lax.dot_general(
-                    w_tap, tap,
+                    taps[dy * 3 + dx], tap_x,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
 
-        y = acc * d_col
+        y = acc
         if has_noise:
             y = y + nwin[slot]
         y = y + b_col
@@ -213,6 +221,12 @@ def _fused_forward(x, w, styles, dcoefs, noise, bias, act_gain, act_slope,
         clamp=None if clamp is None else float(clamp),
         has_noise=has_noise, out_dtype=x.dtype)
 
+    # Tap-major weights: [9, C_out, C_in] so the VMEM minor dims are the
+    # MXU-tiled channel tile (OIHW's (3, 3) minor dims would pad to
+    # (8, 128) tiles — a ~340x VMEM blowup).
+    w_taps = jnp.transpose(w.astype(jnp.float32), (2, 3, 0, 1)).reshape(
+        9, C_out, C_in)
+
     flops = 2 * N * C_out * C_in * 9 * H * W
     bytesrw = (x.size * x.dtype.itemsize + N * C_out * H * W * x.dtype.itemsize
                + w.size * 4)
@@ -220,11 +234,14 @@ def _fused_forward(x, w, styles, dcoefs, noise, bias, act_gain, act_slope,
         kernel,
         grid=(N, C_out // CO_T),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # styles [C_in, N]
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # dcoefs [C_out, N]
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # bias [C_out, 1]
-            pl.BlockSpec((CO_T, C_in, 3, 3), lambda n, c: (c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),       # weights
+            pl.BlockSpec((1, C_in), lambda n, c: (n, 0),
+                         memory_space=pltpu.VMEM),       # styles row
+            pl.BlockSpec((1, CO_T, 1), lambda n, c: (n, c, 0),
+                         memory_space=pltpu.VMEM),       # dcoefs column
+            pl.BlockSpec((CO_T, 1), lambda n, c: (c, 0),
+                         memory_space=pltpu.VMEM),       # bias column
+            pl.BlockSpec((9, CO_T, C_in), lambda n, c: (0, c, 0),
+                         memory_space=pltpu.VMEM),       # weight taps
             pl.BlockSpec(memory_space=pltpu.ANY),        # x (manual DMA)
             pl.BlockSpec(memory_space=pltpu.ANY),        # noise (manual DMA)
         ],
@@ -244,9 +261,9 @@ def _fused_forward(x, w, styles, dcoefs, noise, bias, act_gain, act_slope,
                                       transcendentals=0),
         # CPU (tests): run the TPU kernel under the Pallas interpreter.
         interpret=jax.default_backend() == "cpu",
-    )(jnp.transpose(styles.astype(jnp.float32)),
-      jnp.transpose(dcoefs.astype(jnp.float32)),
-      bias.astype(jnp.float32)[:, None], w.astype(jnp.float32),
+    )(styles.astype(jnp.float32),
+      dcoefs.astype(jnp.float32)[:, :, None],
+      bias.astype(jnp.float32)[:, None], w_taps,
       x.reshape(N, C_in, H * W), noise_flat)
     return out.reshape(N, C_out, H, W)
 

@@ -25,9 +25,16 @@ from gagan_tpu.models import stylegan2 as sg2
 
 def spatial_sharding_hooks(cfg: sg2.SynthesisConfig, mesh: Mesh,
                            axis: str = "data",
-                           min_res: int = 256) -> sg2.LayerHooks:
+                           min_res: int = 256,
+                           min_rows: int = 2) -> sg2.LayerHooks:
     """LayerHooks pinning conv activations at res >= min_res to an H-sharded
-    layout [N, C, H/devices, W]."""
+    layout [N, C, H/devices, W].
+
+    ``min_rows`` floors the shard to >= that many rows per device: the VJP
+    of the up=2 dilated conv is a stride-2 conv, and XLA SPMD miscompiles
+    strided convs whose H shard is smaller than the stride (see
+    d_spatial_constraint) — so levels below min_rows*devices stay
+    unconstrained (replicated)."""
     sharding = NamedSharding(mesh, P(None, None, axis, None))
 
     def constrain(x):
@@ -36,7 +43,7 @@ def spatial_sharding_hooks(cfg: sg2.SynthesisConfig, mesh: Mesh,
     hooks: sg2.LayerHooks = {}
     n_dev = mesh.devices.size
     for res in cfg.block_resolutions:
-        if res < min_res or res < n_dev:
+        if res < min_res or res < min_rows * n_dev:
             continue
         layers = (["conv0", "conv1"] if res > 4 else ["conv1"])
         for layer in layers:
@@ -60,6 +67,33 @@ def merge_hooks(base: Optional[sg2.LayerHooks],
             else:
                 dst[kind] = fn
     return merged
+
+
+def d_spatial_constraint(mesh: Mesh, axis: str = "data",
+                         min_rows: int = 2):
+    """Per-block activation constraint for the discriminator side.
+
+    Returns ``f(x) -> x`` that pins activations H-sharded while every
+    device holds at least ``min_rows`` rows, and REPLICATED below.  The
+    explicit replication floor matters for correctness, not just speed:
+    XLA's SPMD partitioner miscompiles a stride-2 convolution whose H
+    shard is smaller than the stride (measured: max-abs error 5.5 on a
+    plain strided conv at 1 row/device, exact at >= 2 — see
+    tests/test_train_step.py::test_spatial_sharded_full_train_step), so
+    the sharding must not be allowed to propagate into the small-res
+    blocks.
+    """
+    n_dev = mesh.devices.size
+    sharded = NamedSharding(mesh, P(None, None, axis, None))
+    replicated = NamedSharding(mesh, P(None, None, None, None))
+
+    def f(x):
+        if x.ndim != 4:
+            return x
+        want = sharded if x.shape[2] >= min_rows * n_dev else replicated
+        return jax.lax.with_sharding_constraint(x, want)
+
+    return f
 
 
 def spatial_synthesis_fn(g_cfg: sg2.GeneratorConfig, mesh: Mesh,

@@ -88,10 +88,12 @@ def run_D(
     augment_fn: AugmentFn,
     ada_p: Optional[jax.Array],
     key: Optional[jax.Array],
+    d_constraint=None,
 ) -> jax.Array:
     if augment_fn is not None:
         img = augment_fn(img, ada_p, key)
-    return sg2.discriminator_apply(d_cfg, d_params, img, c)
+    return sg2.discriminator_apply(d_cfg, d_params, img, c,
+                                   spatial_constraint=d_constraint)
 
 
 def g_main_loss(
@@ -223,6 +225,7 @@ def d_main_loss(
     hooks=None,
     ga_threshold: Optional[float] = None,
     ga_mutation_rate: float = 0.1,
+    d_constraint=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Dmain: minimize logits on fakes, maximize on reals (loss.py:115-138).
 
@@ -240,11 +243,12 @@ def d_main_loss(
             g_cfg, d_cfg, g_params, d_params, real_img, gen_img, gen_ws,
             k_ga, ga_threshold, ga_mutation_rate, hooks)
         metrics["Loss/ga/replaced"] = replaced
-    gen_logits = run_D(d_cfg, d_params, gen_img, gen_c, augment_fn, ada_p, k_aug1)
+    gen_logits = run_D(d_cfg, d_params, gen_img, gen_c, augment_fn, ada_p,
+                       k_aug1, d_constraint=d_constraint)
     loss_Dgen = jnp.mean(softplus(gen_logits))
 
     real_logits = run_D(d_cfg, d_params, real_img, real_c, augment_fn, ada_p,
-                        k_aug2)
+                        k_aug2, d_constraint=d_constraint)
     loss_Dreal = jnp.mean(softplus(-real_logits))
     metrics.update({
         "Loss/scores/fake": jnp.mean(gen_logits),
@@ -272,6 +276,7 @@ def gd_main_loss(
     hooks=None,
     ga_threshold: Optional[float] = None,
     ga_mutation_rate: float = 0.1,
+    d_constraint=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Gmain + Dmain as ONE scalar loss over a SHARED forward.
 
@@ -304,7 +309,7 @@ def gd_main_loss(
     # G route: D applied with frozen d_params (same forward HLO).
     d_frozen = jax.lax.stop_gradient(d_params)
     gen_logits_g = run_D(d_cfg, d_frozen, gen_img, gen_c, augment_fn, ada_p,
-                         k_aug1)
+                         k_aug1, d_constraint=d_constraint)
     loss_g = jnp.mean(softplus(-gen_logits_g))
 
     # D route: same fake image, detached (loss.py:115-124 semantics).
@@ -319,9 +324,10 @@ def gd_main_loss(
             k_ga, ga_threshold, ga_mutation_rate, hooks)
         metrics["Loss/ga/replaced"] = replaced
     gen_logits_d = run_D(d_cfg, d_params, gen_img_d,
-                         gen_c, augment_fn, ada_p, k_aug1)
+                         gen_c, augment_fn, ada_p, k_aug1,
+                         d_constraint=d_constraint)
     real_logits = run_D(d_cfg, d_params, real_img, real_c, augment_fn,
-                        ada_p, k_aug2)
+                        ada_p, k_aug2, d_constraint=d_constraint)
     loss_d = jnp.mean(softplus(gen_logits_d)) + jnp.mean(softplus(-real_logits))
 
     metrics.update({
@@ -345,11 +351,13 @@ def d_r1_loss(
     key: jax.Array,
     augment_fn: AugmentFn = None,
     ada_p: Optional[jax.Array] = None,
+    d_constraint=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Dreg: R1 gradient penalty on reals (loss.py:140-152)."""
 
     def d_sum(img):
-        logits = run_D(d_cfg, d_params, img, real_c, augment_fn, ada_p, key)
+        logits = run_D(d_cfg, d_params, img, real_c, augment_fn, ada_p, key,
+                       d_constraint=d_constraint)
         return jnp.sum(logits), logits
 
     grads, logits = jax.grad(d_sum, has_aux=True)(real_img)

@@ -79,6 +79,7 @@ def training_loop(
     parametrization: Optional[str] = None,
     weight_parts: Tuple[str, ...] = ("all",),
     reg_remat: bool = False,
+    spatial_shard_min_res: Optional[int] = None,
 ) -> ts.TrainState:
     run_dir = loop_cfg.run_dir
     os.makedirs(run_dir, exist_ok=True)
@@ -171,6 +172,18 @@ def training_loop(
         pl_g_cfg = dataclasses.replace(
             g_cfg, synthesis=dataclasses.replace(
                 g_cfg.synthesis, pallas_level=False))
+    # Spatial (H-axis) sharding of the >= min_res synthesis activations —
+    # the beyond-reference scaling axis (parallel/spatial.py): identity
+    # sharding-constraint hooks make XLA insert conv halo exchanges so one
+    # image spans the mesh.
+    extra_hooks = None
+    d_constraint = None
+    if spatial_shard_min_res is not None and n_dev > 1:
+        from gagan_tpu.parallel import spatial as spatial_lib
+
+        extra_hooks = spatial_lib.spatial_sharding_hooks(
+            g_cfg.synthesis, mesh, min_res=spatial_shard_min_res)
+        d_constraint = spatial_lib.d_spatial_constraint(mesh)
     steps = {}
     for do_g in (False, True):
         for do_d in (False, True):
@@ -179,7 +192,8 @@ def training_loop(
                 do_g_reg=do_g, do_d_reg=do_d,
                 reg_g_cfg=pl_g_cfg if do_g else None,
                 reg_d_cfg=r1_d_cfg if do_d else None,
-                offsets_spec=offsets_spec, offsets_tx=offsets_tx),
+                offsets_spec=offsets_spec, offsets_tx=offsets_tx,
+                extra_hooks=extra_hooks, d_constraint=d_constraint),
                 donate_argnums=(0,))
 
     # Data.  A NativeZipDataset decodes whole batches in the C++ loader

@@ -241,8 +241,14 @@ def make_phase_steps(
     offsets_tx: Optional[optax.GradientTransformation] = None,
     reg_g_cfg: Optional[sg2.GeneratorConfig] = None,
     reg_d_cfg: Optional[sg2.DiscriminatorConfig] = None,
+    extra_hooks=None,
+    d_constraint=None,
 ):
     """Build the four phase step functions (not yet jitted).
+
+    ``extra_hooks`` (a LayerHooks tree, e.g.
+    parallel.spatial.spatial_sharding_hooks) is merged after the offsets
+    hooks on every G forward — the spatial-sharding entry point.
 
     With ``offsets_spec``/``offsets_tx`` set, the G phases differentiate
     jointly w.r.t. (g_params, offsets) with the offset hooks applied — the
@@ -262,11 +268,19 @@ def make_phase_steps(
     if offsets_spec is not None:
         from gagan_tpu.params import offsets as offs_lib
 
-        def make_hooks(offsets):
+        def make_offsets_hooks(offsets):
             return offs_lib.make_hooks(offsets_spec, offsets)
     else:
-        def make_hooks(offsets):
+        def make_offsets_hooks(offsets):
             return None
+
+    if extra_hooks:
+        from gagan_tpu.parallel.spatial import merge_hooks
+
+        def make_hooks(offsets):
+            return merge_hooks(make_offsets_hooks(offsets), extra_hooks)
+    else:
+        make_hooks = make_offsets_hooks
 
     main_rounds = max(cfg.accum_rounds, 1)
     reg_default = cfg.reg_accum_rounds or cfg.accum_rounds
@@ -353,7 +367,8 @@ def make_phase_steps(
                     k, augment_fn=augment_fn, ada_p=state.ada_p,
                     hooks=make_hooks(offsets),
                     ga_threshold=cfg.ga_threshold,
-                    ga_mutation_rate=cfg.ga_mutation_rate)
+                    ga_mutation_rate=cfg.ga_mutation_rate,
+                    d_constraint=d_constraint)
 
             return jax.value_and_grad(loss_fn, argnums=(0, 1, 2),
                                       has_aux=True)(
@@ -398,7 +413,8 @@ def make_phase_steps(
                     k, augment_fn=augment_fn, ada_p=state.ada_p,
                     hooks=make_hooks(state.offsets),
                     ga_threshold=cfg.ga_threshold,
-                    ga_mutation_rate=cfg.ga_mutation_rate)
+                    ga_mutation_rate=cfg.ga_mutation_rate,
+                    d_constraint=d_constraint)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
 
@@ -417,7 +433,8 @@ def make_phase_steps(
                 loss, metrics = gan_loss.d_r1_loss(
                     lcfg, reg_d_cfg, d_params, _chunk(real_img, d_reg_rounds, r),
                     _chunk(real_c, d_reg_rounds, r), k,
-                    augment_fn=augment_fn, ada_p=state.ada_p)
+                    augment_fn=augment_fn, ada_p=state.ada_p,
+                    d_constraint=d_constraint)
                 return loss * gain, metrics
 
             return jax.value_and_grad(loss_fn, has_aux=True)(state.d_params)
@@ -445,6 +462,8 @@ def make_fused_step(
     offsets_tx=None,
     reg_g_cfg=None,
     reg_d_cfg=None,
+    extra_hooks=None,
+    d_constraint=None,
 ):
     """One batch = Gmain [+Greg] + Dmain [+Dreg] + EMA + nimg bump.
 
@@ -454,7 +473,8 @@ def make_fused_step(
     g_main, g_reg, d_main, d_reg, gd_main = make_phase_steps(
         cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn,
         offsets_spec=offsets_spec, offsets_tx=offsets_tx,
-        reg_g_cfg=reg_g_cfg, reg_d_cfg=reg_d_cfg)
+        reg_g_cfg=reg_g_cfg, reg_d_cfg=reg_d_cfg, extra_hooks=extra_hooks,
+        d_constraint=d_constraint)
 
     def step(state: TrainState, real_img, real_c, z, gen_c, key):
         keys = jax.random.split(key, 4)

@@ -256,10 +256,12 @@ def test_pallas_fused_modconv_level_parity():
                                    rtol=1e-3, atol=1e-3 * m)
 
 
+@pytest.mark.slow
 def test_pallas_level_flag_in_synthesis():
     """SynthesisConfig.pallas_level routes eligible levels through the
     fused kernel with outputs matching the XLA path; ineligible shapes
-    (small W, odd channels) silently keep the XLA path."""
+    (small W, odd channels) silently keep the XLA path.  Slow: a 128-res
+    synthesis through the Pallas interpreter (~80 s on CPU)."""
     import jax
 
     from gagan_tpu.models import stylegan2 as sg2

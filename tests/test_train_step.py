@@ -197,6 +197,66 @@ def test_data_parallel_step_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_spatial_sharded_full_train_step():
+    """ONE image spans 8 devices through the FULL fused train step
+    (VERDICT r2 #7): spatial hooks merged into the step via extra_hooks,
+    numerics == unsharded, halo-exchange collectives present in the HLO."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gagan_tpu.parallel import mesh as mesh_lib
+    from gagan_tpu.parallel import spatial
+
+    g_cfg = sg2.GeneratorConfig(
+        z_dim=32, w_dim=32, img_resolution=32, img_channels=3,
+        mapping=sg2.MappingConfig(num_layers=2),
+        synthesis=sg2.SynthesisConfig(channel_base=1024, channel_max=64))
+    d_cfg = sg2.DiscriminatorConfig(
+        img_resolution=32, img_channels=3, channel_base=1024, channel_max=64,
+        mbstd_group_size=1)
+    cfg = ts.TrainConfig(batch_size=1, simultaneous_main=True)
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+    state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (1, 3, 32, 32))
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 32))
+    key = jax.random.PRNGKey(4)
+
+    ref_step = ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx)
+    ref_state, ref_metrics = jax.jit(ref_step)(state, real, None, z, None,
+                                               key)
+
+    mesh = mesh_lib.create_mesh(8)
+    hooks = spatial.spatial_sharding_hooks(g_cfg.synthesis, mesh, min_res=8)
+    assert hooks, "no layers sharded"
+    # min_rows floor: levels below 2 rows/device are NOT constrained (XLA
+    # SPMD miscompiles stride-2 convs at 1-row shards; d_spatial_constraint
+    # docstring).
+    assert "b8.conv1" not in hooks and "b16.conv1" in hooks
+    sp_step = jax.jit(ts.make_fused_step(
+        cfg, g_cfg, d_cfg, g_tx, d_tx, extra_hooks=hooks,
+        d_constraint=spatial.d_spatial_constraint(mesh)))
+    state_sp = mesh_lib.place_state(mesh, state)
+    real_sp = jax.device_put(real,
+                             NamedSharding(mesh, P(None, None, "data", None)))
+    z_sp = jax.device_put(z, mesh_lib.replicated(mesh))
+    got_state, got_metrics = sp_step(state_sp, real_sp, None, z_sp, None, key)
+
+    for k in ("Loss/G/loss", "Loss/D/loss", "Loss/r1_penalty"):
+        np.testing.assert_allclose(float(got_metrics[k]),
+                                   float(ref_metrics[k]),
+                                   rtol=1e-4, atol=1e-5)
+    a = np.asarray(ref_state.g_params["synthesis"]["b32"]["conv1"]["weight"])
+    b = np.asarray(got_state.g_params["synthesis"]["b32"]["conv1"]["weight"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    hlo = sp_step.lower(state_sp, real_sp, None, z_sp, None,
+                        key).compile().as_text()
+    assert ("collective-permute" in hlo or "all-gather" in hlo
+            or "all-to-all" in hlo), "no spatial collectives in HLO"
+
+
 def test_ada_update_direction():
     cfg = ts.TrainConfig(batch_size=8, ada_target=0.6, ada_interval=4,
                          ada_kimg=500)

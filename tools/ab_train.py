@@ -54,6 +54,28 @@ def blob_dataset(n: int, res: int, seed: int = 0) -> np.ndarray:
     return imgs
 
 
+def parse_arm(spec: str):
+    """Arm grammar: '<exact|fast|simultaneous>[@pX][@dN]'.
+
+    @pX  — fixed augment probability X (no ADA adjustment), e.g. '@p0.6';
+    @dN  — train on only the first N images (D overfits, ADA drives p up).
+    Bare names keep the round-2 semantics (ADA on the full dataset).
+    """
+    parts = spec.split("@")
+    base = parts[0]
+    assert base in ("exact", "fast", "simultaneous"), spec
+    fixed_p = None
+    n_data = None
+    for p in parts[1:]:
+        if p.startswith("p"):
+            fixed_p = float(p[1:])
+        elif p.startswith("d"):
+            n_data = int(p[1:])
+        else:
+            raise ValueError(f"bad arm token {p!r} in {spec!r}")
+    return base, fixed_p, n_data
+
+
 def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
             seed: int) -> dict:
     from gagan_tpu.metrics import inception as inc_lib
@@ -61,6 +83,10 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
     from gagan_tpu.train import gan_loss, train_step as ts
     from gagan_tpu.models import stylegan2 as sg2
 
+    base, fixed_p, n_data = parse_arm(name)
+    eval_data = data
+    if n_data is not None:
+        data = data[:n_data]
     res = data.shape[-1]
     g_cfg = sg2.GeneratorConfig(
         z_dim=64, w_dim=64, img_resolution=res,
@@ -71,12 +97,12 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
         mbstd_group_size=4)
     cfg = ts.TrainConfig(
         batch_size=batch, ema_kimg=2.0, ema_rampup=0.05,
-        ada_target=0.6, ada_kimg=20.0,
+        ada_target=(None if fixed_p is not None else 0.6), ada_kimg=20.0,
         loss=gan_loss.GANLossConfig(r1_gamma=0.0002 * res * res / batch),
-        simultaneous_main=(name == "simultaneous"))
+        simultaneous_main=(base == "simultaneous"))
 
     aug_cfg = aug_lib.make_config("bgc")
-    if name == "exact":
+    if base == "exact":
         aug_cfg = dataclasses.replace(aug_cfg, geom_mode="exact")
     augment_fn = aug_lib.make_augment_fn(aug_cfg)
 
@@ -92,6 +118,9 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
         steps[vname] = jax.jit(ts.make_fused_step(
             cfg, g_cfg, d_cfg, g_tx, d_tx, augment_fn=augment_fn,
             do_g_reg=dg, do_d_reg=dd), donate_argnums=(0,))
+
+    if fixed_p is not None:
+        state = state.replace(ada_p=jnp.float32(fixed_p))
 
     rng = np.random.RandomState(seed + 2)
     key = jax.random.PRNGKey(seed + 3)
@@ -110,7 +139,7 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
                  (1, 1): "both"}[(int(do_g), int(do_d))]
         state, metrics = steps[vname](state, real, None, z, None, sub)
         signs_acc.append(float(metrics["Loss/signs/real"]))
-        if it % 4 == 3:      # ada_interval
+        if fixed_p is None and it % 4 == 3:      # ada_interval
             new_p = ts.ada_update(cfg, state.ada_p,
                                   float(np.mean(signs_acc[-4:])))
             state = state.replace(ada_p=jnp.float32(new_p))
@@ -142,7 +171,7 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
         gen.append(np.asarray(gen_fn(jnp.asarray(zs[i:i + 64]))))
     gen = np.concatenate(gen)
     mu_g, cov_g = stats(gen)
-    mu_r, cov_r = stats(data[:n_eval])
+    mu_r, cov_r = stats(eval_data[:n_eval])
 
     from gagan_tpu.metrics.fid import frechet_distance
 
