@@ -75,14 +75,19 @@ def apply_genetic_refinement(
     encoder_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     hooks=None,
     return_mask: bool = False,
+    d_constraint=None,
 ) -> jax.Array:
     """Returns fakes with near-boundary samples replaced by GA offspring.
 
     With ``return_mask=True`` also returns the [N] replacement mask so the
     training step can report the replaced fraction (`Loss/ga/replaced`).
+    ``d_constraint`` forwards to discriminator_apply's spatial_constraint
+    (required when the step runs spatially sharded).
     """
-    d_real = sg2.discriminator_apply(d_cfg, d_params, real_img)[:, 0]
-    d_fake = sg2.discriminator_apply(d_cfg, d_params, fake_img)[:, 0]
+    d_real = sg2.discriminator_apply(d_cfg, d_params, real_img,
+                                     spatial_constraint=d_constraint)[:, 0]
+    d_fake = sg2.discriminator_apply(d_cfg, d_params, fake_img,
+                                     spatial_constraint=d_constraint)[:, 0]
     mask = jnp.abs(d_real - d_fake) < threshold            # [N]
 
     k_enc, k_cx, k_mut, k_noise = jax.random.split(key, 4)

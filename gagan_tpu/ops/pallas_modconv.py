@@ -83,6 +83,7 @@ def _kernel(styles_ref, dcoefs_ref, bias_ref, w_ref, x_hbm, noise_hbm,
     RT = H // TH
     THW = TH * W
     WIN = (TH + 2) * W
+    PAD = 128          # leading zero lanes: tap slices start at PAD-1 >= 0
 
     def _for_each_x_copy(rt, slot, op):
         # Window = flat lanes [(rt*TH - 1) * W, (rt*TH + TH + 1) * W)
@@ -95,13 +96,13 @@ def _kernel(styles_ref, dcoefs_ref, bias_ref, w_ref, x_hbm, noise_hbm,
         variants = [
             (inner, lambda: pltpu.make_async_copy(
                 x_hbm.at[n, :, pl.ds((rt * TH - 1) * W, WIN)],
-                xwin.at[slot], xsem.at[slot])),
+                xwin.at[slot, :, PAD:PAD + WIN], xsem.at[slot])),
             (first, lambda: pltpu.make_async_copy(
                 x_hbm.at[n, :, pl.ds(0, WIN - W)],
-                xwin.at[slot, :, W:], xsem.at[slot])),
+                xwin.at[slot, :, PAD + W:PAD + WIN], xsem.at[slot])),
             (last, lambda: pltpu.make_async_copy(
                 x_hbm.at[n, :, pl.ds((rt * TH - 1) * W, WIN - W)],
-                xwin.at[slot, :, 0:WIN - W], xsem.at[slot])),
+                xwin.at[slot, :, PAD:PAD + WIN - W], xsem.at[slot])),
         ]
         for cond, make in variants:
             @pl.when(cond)
@@ -126,11 +127,16 @@ def _kernel(styles_ref, dcoefs_ref, bias_ref, w_ref, x_hbm, noise_hbm,
             out_hbm.at[n, pl.ds(cot * CO_T, CO_T), pl.ds(rt * THW, THW)],
             ysem.at[slot])
 
+    # Zero the pad lanes once (taps (0,0) / (2,2) read one lane past
+    # the window; the values are masked but must not be NaN garbage).
+    for sl in (0, 1):
+        xwin[sl, :, 0:PAD] = jnp.zeros((C_in, PAD), xwin.dtype)
+        xwin[sl, :, PAD + WIN:] = jnp.zeros((C_in, PAD), xwin.dtype)
     start_x(0, 0)
 
     # Fold modulation + demodulation into the 9 weight taps, once per
     # (n, cot) grid step: (d_o W_oi s_i) @ x == d * conv(s * x, W).
-    s_row = styles_ref[:, :]                    # [1, C_in]   (this sample)
+    s_row = styles_ref[0]                       # [1, C_in]   (this sample)
     d_col = dcoefs_ref[0]                       # [CO_T, 1]   (this tile)
     b_col = bias_ref[:, :]                      # [CO_T, 1]
     taps = [
@@ -155,26 +161,26 @@ def _kernel(styles_ref, dcoefs_ref, bias_ref, w_ref, x_hbm, noise_hbm,
 
         @pl.when(rt == 0)
         def _():
-            xwin[slot, :, 0:W] = jnp.zeros((C_in, W), xwin.dtype)
+            xwin[slot, :, PAD:PAD + W] = jnp.zeros((C_in, W), xwin.dtype)
 
         @pl.when(rt == RT - 1)
         def _():
-            xwin[slot, :, WIN - W:WIN] = jnp.zeros((C_in, W), xwin.dtype)
+            xwin[slot, :, PAD + WIN - W:PAD + WIN] = jnp.zeros(
+                (C_in, W), xwin.dtype)
 
-        xw = xwin[slot]                                       # [C_in, WIN]
+        xw = xwin[slot]                                 # [C_in, PAD + WIN]
         acc = jnp.zeros((CO_T, THW), jnp.float32)
         for dy in range(3):
-            seg = xw[:, dy * W:dy * W + THW]                  # [C_in, THW]
             for dx in range(3):
-                if dx == 1:
-                    tap_x = seg
-                elif dx == 0:
-                    # Read col w-1: roll right one lane; wrapped (and
-                    # cross-row) lanes land exactly on masked cols.
-                    tap_x = jnp.where(mask_l, pltpu.roll(seg, 1, 1), 0.0)
-                else:
-                    tap_x = jnp.where(mask_r,
-                                      pltpu.roll(seg, THW - 1, 1), 0.0)
+                # Static (unaligned for dx != 1) lane slice selecting
+                # input position (h + dy - 1, w + dx - 1); cross-row
+                # bleed-through at the dx edges is masked.
+                start = PAD + dy * W + dx - 1
+                tap_x = xw[:, start:start + THW]              # [C_in, THW]
+                if dx == 0:
+                    tap_x = jnp.where(mask_l, tap_x, 0.0)
+                elif dx == 2:
+                    tap_x = jnp.where(mask_r, tap_x, 0.0)
                 acc = acc + jax.lax.dot_general(
                     taps[dy * 3 + dx], tap_x,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -234,7 +240,9 @@ def _fused_forward(x, w, styles, dcoefs, noise, bias, act_gain, act_slope,
         kernel,
         grid=(N, C_out // CO_T),
         in_specs=[
-            pl.BlockSpec((1, C_in), lambda n, c: (n, 0),
+            # Block last-two dims must be (divisible by (8, 128)) or
+            # equal to the array dims — hence the singleton middle axis.
+            pl.BlockSpec((1, 1, C_in), lambda n, c: (n, 0, 0),
                          memory_space=pltpu.VMEM),       # styles row
             pl.BlockSpec((1, CO_T, 1), lambda n, c: (n, c, 0),
                          memory_space=pltpu.VMEM),       # dcoefs column
@@ -248,7 +256,8 @@ def _fused_forward(x, w, styles, dcoefs, noise, bias, act_gain, act_slope,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # y (manual DMA)
         out_shape=jax.ShapeDtypeStruct((N, C_out, H * W), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, C_in, (TH + 2) * W), x.dtype),   # x windows
+            pltpu.VMEM((2, C_in, 128 + (TH + 2) * W + 128),
+                       x.dtype),                            # x windows
             pltpu.VMEM((2, 1, TH * W), jnp.float32),        # noise windows
             pltpu.VMEM((2, CO_T, TH * W), x.dtype),         # y staging
             pltpu.SemaphoreType.DMA((2,)),
@@ -261,7 +270,7 @@ def _fused_forward(x, w, styles, dcoefs, noise, bias, act_gain, act_slope,
                                       transcendentals=0),
         # CPU (tests): run the TPU kernel under the Pallas interpreter.
         interpret=jax.default_backend() == "cpu",
-    )(styles.astype(jnp.float32),
+    )(styles.astype(jnp.float32)[:, None, :],
       dcoefs.astype(jnp.float32)[:, :, None],
       bias.astype(jnp.float32)[:, None], w_taps,
       x.reshape(N, C_in, H * W), noise_flat)

@@ -185,6 +185,7 @@ def _ga_refine_fakes(
     ga_threshold: float,
     ga_mutation_rate: float,
     hooks,
+    d_constraint=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """GA refinement of near-boundary fakes before the D step.
 
@@ -204,7 +205,7 @@ def _ga_refine_fakes(
         jax.lax.stop_gradient(real_img), jax.lax.stop_gradient(gen_img),
         jax.lax.stop_gradient(gen_ws), key,
         threshold=ga_threshold, mutation_rate=ga_mutation_rate,
-        hooks=hooks, return_mask=True)
+        hooks=hooks, return_mask=True, d_constraint=d_constraint)
     return jax.lax.stop_gradient(refined), jnp.mean(
         mask.astype(jnp.float32))
 
@@ -241,7 +242,8 @@ def d_main_loss(
     if ga_threshold is not None:
         gen_img, replaced = _ga_refine_fakes(
             g_cfg, d_cfg, g_params, d_params, real_img, gen_img, gen_ws,
-            k_ga, ga_threshold, ga_mutation_rate, hooks)
+            k_ga, ga_threshold, ga_mutation_rate, hooks,
+            d_constraint=d_constraint)
         metrics["Loss/ga/replaced"] = replaced
     gen_logits = run_D(d_cfg, d_params, gen_img, gen_c, augment_fn, ada_p,
                        k_aug1, d_constraint=d_constraint)
@@ -321,7 +323,8 @@ def gd_main_loss(
     if ga_threshold is not None:
         gen_img_d, replaced = _ga_refine_fakes(
             g_cfg, d_cfg, g_params, d_params, real_img, gen_img_d, gen_ws,
-            k_ga, ga_threshold, ga_mutation_rate, hooks)
+            k_ga, ga_threshold, ga_mutation_rate, hooks,
+            d_constraint=d_constraint)
         metrics["Loss/ga/replaced"] = replaced
     gen_logits_d = run_D(d_cfg, d_params, gen_img_d,
                          gen_c, augment_fn, ada_p, k_aug1,

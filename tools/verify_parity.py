@@ -328,9 +328,12 @@ def _load_torch_sd(path):
 def main():
     import jax
 
-    if jax.default_backend() != "cpu":
-        # torch-CPU comparisons; keep jax on CPU too for determinism.
-        jax.config.update("jax_platforms", "cpu")
+    # torch-CPU comparisons: force jax onto CPU BEFORE any backend query
+    # (jax.default_backend() would initialize and pin the axon TPU plugin),
+    # and use highest matmul precision like tests/conftest.py — the TPU
+    # default (bf16 passes) would turn exact comparisons into 1e-2 noise.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt", nargs="?", help="checkpoint file")
