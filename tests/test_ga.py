@@ -127,11 +127,46 @@ def test_genetic_refinement_replaces_only_masked(tiny_gd):
     np.testing.assert_array_equal(np.asarray(out_none), np.asarray(fake))
 
 
+def test_ga_splice_loss_level(tiny_gd):
+    """The GA splice at the loss level (cheap, stays in the core tier):
+    threshold=inf replaces every fake (reported fraction 1.0, different D
+    loss), threshold=0 is bit-identical to GA off."""
+    from gagan_tpu.train import gan_loss
+
+    g_cfg, g_params, d_cfg, d_params = tiny_gd
+    real = jax.random.normal(jax.random.PRNGKey(10), (4, 3, 16, 16))
+    z = jax.random.normal(jax.random.PRNGKey(11), (4, 16))
+    key = jax.random.PRNGKey(12)
+    lcfg = gan_loss.GANLossConfig()
+
+    def run(thr, loss_fn):
+        return jax.jit(lambda: loss_fn(
+            lcfg, g_cfg, d_cfg, g_params, d_params, real, None, z, None,
+            key, ga_threshold=thr))()
+
+    # gd path only in the core tier — the slow fused-step test covers the
+    # alternating d_main path with the same three thresholds.
+    for loss_fn in (gan_loss.gd_main_loss,):
+        (l_off, m_off) = run(None, loss_fn)
+        (l_all, m_all) = run(1e9, loss_fn)
+        (l_none, m_none) = run(0.0, loss_fn)
+        assert "Loss/ga/replaced" not in m_off
+        assert float(m_all["Loss/ga/replaced"]) == 1.0
+        assert float(m_none["Loss/ga/replaced"]) == 0.0
+        np.testing.assert_array_equal(np.asarray(m_none["Loss/D/loss"]),
+                                      np.asarray(m_off["Loss/D/loss"]))
+        assert not np.allclose(float(m_all["Loss/D/loss"]),
+                               float(m_off["Loss/D/loss"]))
+        assert np.isfinite(float(l_all))
+
+
+@pytest.mark.slow
 def test_ga_splice_wired_into_train_step(tiny_gd):
     """TrainConfig.ga_threshold reaches the jitted D phases: the replaced
     fraction is reported, threshold=inf replaces everything, and
     threshold=0 is bit-identical to GA off (reference training_loop.py:199
-    threshold kwarg; splice at :392-434)."""
+    threshold kwarg; splice at :392-434).  Slow: compiles six fused-step
+    programs; the loss-level core test covers the same semantics."""
     from gagan_tpu.train import gan_loss, train_step as ts
 
     g_cfg, g_params, d_cfg, d_params = tiny_gd

@@ -91,6 +91,7 @@ def test_inception_score_bounds():
     assert mean2 > 5.0
 
 
+@pytest.mark.slow
 def test_inception_v3_shapes():
     params = inc_lib.init_inception_v3(jax.random.PRNGKey(0))
     img = jnp.asarray(
@@ -106,6 +107,7 @@ def test_inception_v3_shapes():
     assert 23_000_000 < n_params < 28_000_000, n_params
 
 
+@pytest.mark.slow
 def test_vgg16_shapes():
     params = vgg_lib.init_vgg16(jax.random.PRNGKey(0))
     img = jnp.asarray(

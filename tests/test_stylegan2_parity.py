@@ -291,6 +291,7 @@ def test_remat_matches_plain():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_two_block_tail_parity():
     # packed_tail_blocks=2: the feature map crosses the block boundary still
     # packed (ops/packed.py build_packed_upconv_packed); must be numerically

@@ -197,6 +197,7 @@ def test_data_parallel_step_matches_single_device():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spatial_sharded_full_train_step():
     """ONE image spans 8 devices through the FULL fused train step
     (VERDICT r2 #7): spatial hooks merged into the step via extra_hooks,
@@ -500,6 +501,7 @@ def test_gd_main_loss_augment_routing():
                                        rtol=1e-5, atol=1e-6, err_msg=str(p1))
 
 
+@pytest.mark.slow
 def test_simultaneous_fused_step_runs():
     g_cfg, d_cfg = tiny_configs()
     g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
