@@ -169,6 +169,50 @@ def main():
     t_step = timeit(trainer.train_step, n=n,
                     label="full step (td_single, sync every step)")
 
+    # Full loss fwd vs fwd+bwd vs optimizer: isolates where the step's
+    # device time goes beyond the G/tower components above.
+    import optax
+
+    frozen = trainer._frozen
+    spec2 = trainer.spec
+    step_fn_src = trainer._build_step()
+
+    def loss_only(offsets, key_):
+        k_z, k_z2, k_mix, k_step = jax.random.split(key_, 4)
+        z_ = jax.random.normal(k_z, (batch, g_cfg.z_dim))
+        z2_ = jax.random.normal(k_z2, (batch, g_cfg.z_dim))
+        use_mix = jax.random.uniform(k_mix) < cfg.mixing_noise
+        # reuse the trainer's private loss through its step-closure
+        # machinery: cheaper to re-derive the public pieces here.
+        hooks = None
+        from gagan_tpu.params import offsets as offs_lib2
+        if spec2.per_sample_only:
+            fro, tra = trainer._run_g_pair(frozen["g"], offsets, z_, z2_,
+                                           use_mix, k_step)
+        else:
+            hooks = offs_lib2.make_hooks(spec2, offsets)
+            fro = trainer._run_g(frozen["g"], z_, z2_, use_mix, None, k_step)
+            tra = trainer._run_g(frozen["g"], z_, z2_, use_mix, hooks, k_step)
+        total = jnp.float32(0)
+        for nm in cfg.visual_encoders:
+            ccfg2, _ = trainer.clip_encoders[nm]
+            both, _ = clip_model.encode_image(
+                ccfg2, frozen["clip"][nm],
+                jnp.clip(jnp.concatenate([tra, fro]) * 127.5 + 128, 0, 255),
+                dtype=jnp.bfloat16)
+            t_, s_ = jnp.split(both, 2, axis=0)
+            total = total + jnp.mean(1 - jnp.sum(
+                (t_ - s_) * (frozen["emb"][nm]["trg"]
+                             - frozen["emb"][nm]["src"]), axis=-1))
+        return total
+
+    lf = jax.jit(loss_only)
+    timeit(lambda: lf(trainer.offsets, key), n=n,
+           label="full loss fwd only")
+    lg = jax.jit(jax.grad(loss_only))
+    timeit(lambda: lg(trainer.offsets, key), n=n,
+           label="full loss fwd+bwd")
+
     # Pipelined: dispatch a block of steps, sync once (the real loop syncs
     # only on log cadence, cfg.log_every=10).
     def block10():
