@@ -206,12 +206,18 @@ def main():
                              - frozen["emb"][nm]["src"]), axis=-1))
         return total
 
-    lf = jax.jit(loss_only)
-    timeit(lambda: lf(trainer.offsets, key), n=n,
-           label="full loss fwd only")
-    lg = jax.jit(jax.grad(loss_only))
-    timeit(lambda: lg(trainer.offsets, key), n=n,
-           label="full loss fwd+bwd")
+    # Guarded: this probe's compile has repeatedly broken the axon
+    # remote-compile helper (Broken pipe) — never let it kill the
+    # pipelined-block measurement below.
+    try:
+        lf = jax.jit(loss_only)
+        timeit(lambda: lf(trainer.offsets, key), n=n,
+               label="full loss fwd only")
+        lg = jax.jit(jax.grad(loss_only))
+        timeit(lambda: lg(trainer.offsets, key), n=n,
+               label="full loss fwd+bwd")
+    except Exception as e:
+        print(f"(loss-only probe failed: {type(e).__name__})", flush=True)
 
     # Pipelined: dispatch a block of steps, sync once (the real loop syncs
     # only on log cadence, cfg.log_every=10).
