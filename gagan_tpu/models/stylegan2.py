@@ -25,6 +25,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -40,6 +41,18 @@ from gagan_tpu.ops.modulated_conv2d import modulated_conv2d
 from gagan_tpu.ops.upfirdn2d import setup_filter, upsample2d, downsample2d
 
 Params = Dict[str, Any]
+
+
+def _name_fold(name: str) -> int:
+    """Process-stable integer for folding a layer name into a PRNG key.
+
+    Python's builtin ``hash(str)`` is salted per interpreter (PYTHONHASHSEED),
+    so it would bake *different* fold-in constants into the traced program on
+    every process/run — multi-process SPMD ranks would then draw different
+    per-layer noise and silently diverge (found via cross-rank HLO diff in
+    tools/dryrun_multiprocess.py), and snapshot/resume would change the noise
+    stream.  CRC32 is stable everywhere."""
+    return zlib.crc32(name.encode()) % (2 ** 31)
 
 
 # ----------------------------------------------------------------------------
@@ -604,7 +617,7 @@ def _packed_tail(cfg, params, x, img, tail, noise_mode, rng, hooks,
     batch = x.shape[0]
 
     def lrng(name):
-        return (jax.random.fold_in(rng, hash(name) % (2 ** 31))
+        return (jax.random.fold_in(rng, _name_fold(name))
                 if rng is not None else None)
 
     def demod_coefs(weight, styles):
@@ -758,7 +771,7 @@ def synthesis_apply(
         w_idx += num_conv
 
         def lrng(name):
-            return jax.random.fold_in(rng, hash(name) % (2 ** 31)) if rng is not None else None
+            return jax.random.fold_in(rng, _name_fold(name)) if rng is not None else None
 
         if tail_start is not None and res == tail_start:
             tail = [(res, block_ws)]
@@ -887,7 +900,7 @@ def synthesis_from_styles(
         if demodulate and cfg.use_noise:
             if noise_mode == "random":
                 noise = jax.random.normal(
-                    jax.random.fold_in(rng, hash(name) % (2 ** 31)),
+                    jax.random.fold_in(rng, _name_fold(name)),
                     (x.shape[0], 1, res, res), dtype=jnp.float32,
                 ) * lp["noise_strength"]
             elif noise_mode == "const":

@@ -2,6 +2,7 @@
 
 from .mesh import (
     batch_sharding,
+    check_replica_consistency,
     create_mesh,
     place_state,
     replicated,
@@ -11,6 +12,7 @@ from .mesh import (
 
 __all__ = [
     "batch_sharding",
+    "check_replica_consistency",
     "create_mesh",
     "place_state",
     "replicated",
