@@ -241,6 +241,81 @@ def jax_tree_to_np(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+# Reference offset-head param name -> our offsets leaf name, per patch_key
+# family (`core/parametrizations.py:123-203`; our naming from
+# `params/offsets.init_offsets`).
+_ADAPT_HEAD_LEAF = {
+    "s_delta": {"params_in": "offset"},
+    "s_mod": {"params_in": "offset"},
+    "w_delta": {"w_offsets": "offset"},
+    "w_mod": {"w_offsets": "offset"},
+    "cin_mult": {"params_in": "weights_offset"},
+    "cin_delta": {"params_in": "weights_offset"},
+    "cin_offset": {"params_in": "weights_offset"},
+    "cout_mult": {"params_out": "weights_offset"},
+    "cfull_mult": {"shift": "weights_offset"},
+    "cfull_delta": {"shift": "weights_offset"},
+}
+
+
+def adaptation_from_torch(obj: dict, syn_cfg=None):
+    """Reference portable adaptation checkpoint
+    ({model_type, patch_key, state_dict, sg2_params},
+    `SimilarDomains/core/utils/common.py:343-368`) -> (meta, offsets tree).
+
+    The reference trains one head per conv, named ``heads.conv_{i}`` over the
+    rosinality conv list (conv1 + convs[0..], no ToRGBs,
+    `core/parametrizations.py:226-229`); our tree keys those convs
+    `b{res}.conv{0,1}` in the same order (`params/sparse.conv_layer_names`)
+    and keeps the (untrained) torgb heads at zero.
+    """
+    import jax
+
+    from gagan_tpu.models.stylegan2 import (GeneratorConfig, SynthesisConfig)
+    from gagan_tpu.params import offsets as offs_lib
+    from gagan_tpu.params.sparse import conv_layer_names
+
+    patch_key = obj.get("patch_key") or obj.get("parametrization")
+    if patch_key not in _ADAPT_HEAD_LEAF:
+        raise ValueError(f"unsupported patch_key for conversion: {patch_key}")
+    leaf_map = _ADAPT_HEAD_LEAF[patch_key]
+    sd = {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                        else v)
+          for k, v in obj["state_dict"].items()}
+
+    if syn_cfg is None:
+        size = int(obj.get("sg2_params", {}).get("img_size", 1024))
+        syn_cfg = GeneratorConfig(img_resolution=size).synthesis
+    names = conv_layer_names(syn_cfg)
+
+    spec = offs_lib.OffsetsSpec.from_string(patch_key)
+    offsets = offs_lib.init_offsets(jax.random.PRNGKey(0), syn_cfg, spec)
+    offsets = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), offsets)
+
+    consumed = 0
+    for key, arr in sd.items():
+        parts = key.split(".")          # heads.conv_{i}.{param}
+        if len(parts) != 3 or parts[0] != "heads":
+            continue
+        idx = int(parts[1].split("_")[1])
+        leaf = leaf_map.get(parts[2])
+        if leaf is None or idx >= len(names):
+            continue
+        dst = offsets[names[idx]][leaf]
+        offsets[names[idx]][leaf] = arr.reshape(dst.shape).astype(dst.dtype)
+        consumed += 1
+    meta = {
+        "model_type": obj.get("model_type", "parametrization"),
+        "parametrization": patch_key,
+        "sg2_params": dict(obj.get("sg2_params", {})),
+        "heads_consumed": consumed,
+        "heads_expected": sum(1 for k in sd
+                              if k.startswith("heads.") and
+                              k.split(".")[-1] in leaf_map),
+    }
+    return meta, offsets
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)

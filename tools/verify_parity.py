@@ -13,7 +13,11 @@ Usage:
     python tools/verify_parity.py CKPT --kind clip-hf
     python tools/verify_parity.py CKPT --kind inception
     python tools/verify_parity.py CKPT --kind vgg16
-    python tools/verify_parity.py --self-test            # random-weight run
+    python tools/verify_parity.py HF_DIR --kind swin-hf
+    python tools/verify_parity.py [WEIGHTS_DIR] --kind mtcnn   # real in-tree
+    python tools/verify_parity.py CKPT --kind psp|e4e [--size 1024]
+    python tools/verify_parity.py CKPT --kind adaptation  # .pt ref schema/.npz
+    python tools/verify_parity.py --self-test [--json report.json]
 
 CKPT formats: torch .pt/.pth state dicts (rosinality `g_ema` key or raw),
 NVlabs network pickles (loaded through the reference's legacy loader,
@@ -34,10 +38,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+RESULTS: list = []     # machine-readable report rows (--json)
+
+
 def _report(name, max_err, tol, extra=""):
     ok = max_err <= tol
     print(f"{'PASS' if ok else 'FAIL'}  {name:42s} max_err={max_err:.3e} "
           f"tol={tol:.0e} {extra}")
+    RESULTS.append({"name": name, "max_err": float(max_err),
+                    "tol": float(tol), "pass": bool(ok),
+                    **({"extra": extra} if extra else {})})
     return ok
 
 
@@ -255,6 +265,200 @@ def verify_vgg16(sd: dict) -> bool:
     return _report("vgg16 conv5_3 features", _rel_err(final, want), 5e-3)
 
 
+def verify_swin_hf(hf_model) -> bool:
+    """HF transformers.SwinModel vs the converted backbone (tests/test_swin.py;
+    the GA fitness extractor, `GA/feature_extraction.py:6-14`)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gagan_tpu.models import swin
+
+    hf = hf_model.eval()
+    c = hf.config
+    cfg = swin.SwinConfig(image_size=c.image_size, patch_size=c.patch_size,
+                          embed_dim=c.embed_dim, depths=tuple(c.depths),
+                          num_heads=tuple(c.num_heads),
+                          window_size=c.window_size)
+    params = swin.params_from_hf(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()}, cfg)
+    x = np.random.RandomState(10).randn(
+        2, 3, c.image_size, c.image_size).astype(np.float32)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(x),
+                  output_hidden_states=True).hidden_states[-1].numpy()
+    got = np.asarray(swin.swin_features(cfg, params, jnp.asarray(x)))
+    got = got.reshape(got.shape[0], -1, got.shape[-1])
+    return _report("swin encoder features", _rel_err(got, want), 5e-3)
+
+
+MTCNN_WEIGHTS = ("/root/reference/SimilarDomains/restyle_encoders/mtcnn/"
+                 "mtcnn_pytorch/src/weights")
+
+
+def verify_mtcnn(weights_dir: str) -> bool:
+    """{pnet,rnet,onet}.npy dir vs the reference torch nets loaded with the
+    SAME weights (the reference ships real pretrained .npy in-tree, so this
+    is real-weight parity today; `mtcnn_pytorch/src/get_nets.py`)."""
+    import importlib.util
+    import types
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from gagan_tpu.face import mtcnn as fm
+
+    cfg_pkg = types.ModuleType("configs")
+    cfg_mod = types.ModuleType("configs.paths_config")
+    cfg_mod.model_paths = {f"mtcnn_{n}": f"{weights_dir}/{n}.npy"
+                           for n in ("pnet", "rnet", "onet")}
+    cfg_pkg.paths_config = cfg_mod
+    sys.modules.setdefault("configs", cfg_pkg)
+    sys.modules["configs.paths_config"] = cfg_mod
+    spec = importlib.util.spec_from_file_location(
+        "ref_mtcnn_get_nets",
+        "/root/reference/SimilarDomains/restyle_encoders/mtcnn/"
+        "mtcnn_pytorch/src/get_nets.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    def ours(name):
+        w = np.load(f"{weights_dir}/{name}.npy", allow_pickle=True)[()]
+        return fm.params_from_npy(w)
+
+    rng = np.random.RandomState(11)
+    ok = True
+    with torch.no_grad():
+        x = rng.rand(2, 3, 37, 41).astype(np.float32) - 0.5
+        wb, wa = [t.numpy() for t in ref.PNet().cpu().eval()(
+            torch.from_numpy(x))]
+        gb, ga = fm.pnet_apply(ours("pnet"), jnp.asarray(x))
+        ok &= _report("mtcnn pnet", max(_rel_err(gb, wb), _rel_err(ga, wa)),
+                      1e-4)
+        x24 = rng.rand(3, 3, 24, 24).astype(np.float32) - 0.5
+        wb, wa = [t.numpy() for t in ref.RNet().cpu().eval()(
+            torch.from_numpy(x24))]
+        gb, ga = fm.rnet_apply(ours("rnet"), jnp.asarray(x24))
+        ok &= _report("mtcnn rnet", max(_rel_err(gb, wb), _rel_err(ga, wa)),
+                      1e-4)
+        x48 = rng.rand(3, 3, 48, 48).astype(np.float32) - 0.5
+        wc, wb, wa = [t.numpy() for t in ref.ONet().cpu().eval()(
+            torch.from_numpy(x48))]
+        gc, gb, ga = fm.onet_apply(ours("onet"), jnp.asarray(x48))
+        ok &= _report("mtcnn onet", max(_rel_err(gc, wc), _rel_err(gb, wb),
+                                        _rel_err(ga, wa)), 1e-4)
+    return ok
+
+
+def verify_encoder(sd: dict, which: str, stylegan_size: int = 1024) -> bool:
+    """pSp/e4e checkpoint state dict vs the reference GradualStyleEncoder /
+    Encoder4Editing on CPU (tests/test_encoders.py; `restyle_encoders/
+    encoders/psp_encoders.py`).  `sd` keys may carry the wrapper's
+    'encoder.' prefix (psp.py saves the full net)."""
+    import types as _types
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from gagan_tpu.inversion import encoders as enc
+    from gagan_tpu.utils import checkpoint as ckpt_lib
+
+    sys.path.insert(0, "/root/reference/SimilarDomains")
+    from restyle_encoders.encoders import psp_encoders
+
+    if any(k.startswith("encoder.") for k in sd):
+        sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    opts = _types.SimpleNamespace(stylegan_size=stylegan_size)
+    cls = (psp_encoders.GradualStyleEncoder if which == "psp"
+           else psp_encoders.Encoder4Editing)
+    net = cls(50, "ir_se", opts).eval()
+    net.load_state_dict({k: torch.as_tensor(np.asarray(v))
+                         for k, v in sd.items()}, strict=False)
+    params = ckpt_lib.flat_to_tree(
+        {k: np.asarray(v) for k, v in sd.items()
+         if "num_batches_tracked" not in k})
+    cfg = enc.EncoderConfig(stylegan_size=stylegan_size)
+    x = np.random.RandomState(12).randn(2, 3, 256, 256).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    fn = enc.psp_encode if which == "psp" else enc.e4e_encode
+    got = np.asarray(fn(cfg, params, jnp.asarray(x)))
+    # 2e-2: 50 IR-SE blocks of float noise; with RANDOM weights the W+ codes
+    # sit near zero so the global-max normalization amplifies it (the suite's
+    # elementwise rtol/atol=5e-3 passes, tests/test_encoders.py:56).  Real
+    # pretrained encoders produce O(1) codes and measure far below this.
+    return _report(f"{which} encoder W+ codes", _rel_err(got, want), 2e-2)
+
+
+def verify_adaptation(path: str) -> bool:
+    """Portable adaptation checkpoint: our npz schema (roundtrip + hooks
+    apply) or the reference torch schema ({model_type, patch_key,
+    state_dict, sg2_params}, `common.py:343-368`) via
+    tools/convert_weights.adaptation_from_torch."""
+    import jax
+    import jax.numpy as jnp
+
+    from gagan_tpu.models import stylegan2 as sg2
+    from gagan_tpu.params import offsets as offs_lib
+    from gagan_tpu.utils import checkpoint as ckpt_lib
+
+    if path.endswith((".pt", ".pth")):
+        import torch
+
+        from tools.convert_weights import adaptation_from_torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        size = int(obj.get("sg2_params", {}).get("img_size", 1024))
+        g_cfg = sg2.GeneratorConfig(img_resolution=size)
+        meta, offsets_np = adaptation_from_torch(obj, g_cfg.synthesis)
+        ok = _report("adaptation head mapping",
+                     float(meta["heads_expected"] - meta["heads_consumed"]),
+                     0, extra=f"{meta['heads_consumed']}/"
+                              f"{meta['heads_expected']} heads")
+        offsets = jax.tree.map(jnp.asarray, offsets_np)
+        parametrization = meta["parametrization"]
+    else:
+        meta, offsets, _ = ckpt_lib.load_adaptation(path)
+        size = int(meta.get("sg2_params", {}).get("img_resolution",
+                   meta.get("sg2_params", {}).get("img_size", 1024)))
+        g_cfg = sg2.GeneratorConfig(img_resolution=size)
+        parametrization = meta["parametrization"]
+        ok = True
+
+    # The offsets must build hooks and change a synthesis forward (tiny
+    # random G — checks application end-to-end without the real G weights;
+    # combine with --kind rosinality for the full numeric story).
+    spec = offs_lib.OffsetsSpec.from_string(parametrization)
+    tiny = sg2.GeneratorConfig(img_resolution=32)
+    tiny_params = sg2.init_generator(jax.random.PRNGKey(0), tiny)
+    tiny_offsets = offs_lib.init_offsets(jax.random.PRNGKey(1), tiny.synthesis,
+                                         spec)
+    # graft the loaded leading-res offsets onto the tiny tree where shapes
+    # match; otherwise keep random nonzero values.
+    for k in tiny_offsets:
+        if k in offsets:
+            for leaf in tiny_offsets[k]:
+                src = np.asarray(offsets[k][leaf])
+                if src.shape == tiny_offsets[k][leaf].shape:
+                    tiny_offsets[k][leaf] = jnp.asarray(
+                        src if np.any(src) else
+                        np.full_like(src, 0.1))
+    hooks = offs_lib.make_hooks(spec, tiny_offsets)
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, tiny.z_dim))
+    ws = sg2.mapping_apply(tiny.mapping, tiny_params["mapping"], z)
+    base = sg2.synthesis_apply(tiny.synthesis, tiny_params["synthesis"], ws,
+                               noise_mode="const")
+    mod = sg2.synthesis_apply(tiny.synthesis, tiny_params["synthesis"], ws,
+                              noise_mode="const", hooks=hooks)
+    delta = float(jnp.max(jnp.abs(base - mod)))
+    ok &= _report("adaptation offsets apply", 0.0 if delta > 0 else 1.0, 0.5,
+                  extra=f"forward delta {delta:.3e}")
+    return ok
+
+
 # ----------------------------------------------------------------------------
 
 
@@ -309,6 +513,56 @@ def self_test() -> bool:
     vgg_net = _torch_vgg16_features()
     ok &= verify_vgg16(
         {k: v.detach().numpy() for k, v in vgg_net.state_dict().items()})
+
+    from transformers import SwinConfig as HFSwinConfig
+    from transformers import SwinModel
+    torch.manual_seed(6)
+    swin_hf = SwinModel(HFSwinConfig(
+        image_size=32, patch_size=4, embed_dim=24, depths=[2, 2],
+        num_heads=[2, 4], window_size=4, num_channels=3,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        drop_path_rate=0.0))
+    ok &= verify_swin_hf(swin_hf)
+
+    ok &= verify_mtcnn(MTCNN_WEIGHTS)   # real in-tree pretrained weights
+
+    from restyle_encoders.encoders import psp_encoders
+    import types as _types
+    torch.manual_seed(7)
+    psp_net = psp_encoders.GradualStyleEncoder(
+        50, "ir_se", _types.SimpleNamespace(stylegan_size=256))
+    psp_sd = {k: v.detach().numpy() for k, v in psp_net.state_dict().items()}
+    ok &= verify_encoder(psp_sd, "psp", stylegan_size=256)
+    ok &= verify_encoder(psp_sd, "e4e", stylegan_size=256)
+
+    # reference-schema adaptation ckpt (random s_delta heads) -> tmp .pt
+    import tempfile
+
+    # core.utils.common imports dlib/clip at module scope (unused by the
+    # parametrization heads); stub them so the reference class imports.
+    import types as _t
+    for _m in ("dlib", "clip", "torchvision", "torchvision.transforms",
+               "omegaconf"):
+        sys.modules.setdefault(_m, _t.ModuleType(_m))
+    sys.modules["torchvision"].transforms = \
+        sys.modules["torchvision.transforms"]
+    if not hasattr(sys.modules["omegaconf"], "MISSING"):
+        sys.modules["omegaconf"].MISSING = "???"
+    from core.parametrizations import BaseParametrization
+    from gagan_tpu.params.mappers import conv_dimensions
+    from gagan_tpu.models.stylegan2 import GeneratorConfig
+    torch.manual_seed(8)
+    dims = conv_dimensions(GeneratorConfig(img_resolution=64).synthesis)
+    par = BaseParametrization("s_delta", dims)
+    with torch.no_grad():
+        for p in par.parameters():
+            p.normal_(0, 0.05)
+    with tempfile.NamedTemporaryFile(suffix=".pt", delete=False) as f:
+        torch.save({"model_type": "parametrization", "patch_key": "s_delta",
+                    "state_dict": par.state_dict(),
+                    "sg2_params": {"img_size": 64}}, f.name)
+        ok &= verify_adaptation(f.name)
+    os.unlink(f.name)
     return ok
 
 
@@ -338,17 +592,32 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt", nargs="?", help="checkpoint file")
     ap.add_argument("--kind", choices=["rosinality", "nvlabs", "clip-hf",
-                                       "inception", "vgg16"])
+                                       "inception", "vgg16", "swin-hf",
+                                       "mtcnn", "psp", "e4e", "adaptation"])
     ap.add_argument("--size", type=int, default=1024,
-                    help="rosinality generator size")
+                    help="rosinality generator / encoder stylegan size")
     ap.add_argument("--self-test", action="store_true")
+    ap.add_argument("--json", metavar="PATH",
+                    help="write the machine-readable report here")
     args = ap.parse_args()
+
+    def finish(ok):
+        if args.json:
+            import json
+
+            with open(args.json, "w") as f:
+                json.dump({"pass": bool(ok), "results": RESULTS}, f,
+                          indent=1)
+            print(f"report -> {args.json}")
+        sys.exit(0 if ok else 1)
 
     if args.self_test:
         ok = self_test()
         print("SELF-TEST", "PASS" if ok else "FAIL")
-        sys.exit(0 if ok else 1)
+        finish(ok)
 
+    if args.kind == "mtcnn":
+        finish(verify_mtcnn(args.ckpt or MTCNN_WEIGHTS))
     if not args.ckpt or not args.kind:
         ap.error("CKPT and --kind required (or --self-test)")
 
@@ -366,11 +635,20 @@ def main():
         import transformers
 
         ok = verify_clip_hf(transformers.CLIPModel.from_pretrained(args.ckpt))
+    elif args.kind == "swin-hf":
+        import transformers
+
+        ok = verify_swin_hf(transformers.SwinModel.from_pretrained(args.ckpt))
+    elif args.kind in ("psp", "e4e"):
+        ok = verify_encoder(_load_torch_sd(args.ckpt), args.kind,
+                            stylegan_size=args.size)
+    elif args.kind == "adaptation":
+        ok = verify_adaptation(args.ckpt)
     elif args.kind == "inception":
         ok = verify_inception(_load_torch_sd(args.ckpt))
     else:
         ok = verify_vgg16(_load_torch_sd(args.ckpt))
-    sys.exit(0 if ok else 1)
+    finish(ok)
 
 
 if __name__ == "__main__":
