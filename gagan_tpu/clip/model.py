@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gagan_tpu.ops import resize as ops_resize
+
 Params = Dict[str, Any]
 
 
@@ -121,17 +123,27 @@ def _transformer(p: Params, x, n_heads: int, attn_mask=None,
     return x, hidden
 
 
-def preprocess_image(images: jax.Array, resolution: int = 224) -> jax.Array:
+def preprocess_image(images: jax.Array, resolution: int = 224,
+                     precision: str = "highest") -> jax.Array:
     """uint8/float NCHW RGB in [0,255] -> CLIP-normalized float NCHW.
 
     Matches the reference's differentiable preprocessing of generator output
     (resize via bicubic + normalize; trainers.py clip_encode_image path).
+    The resize runs as two constant-weight matmuls (ops.resize) — the
+    jax.image.resize VJP/precision form cost ~20 ms/step in the adaptation
+    loop at 1024->224 batch 8.  ``precision='highest'`` keeps
+    jax.image.resize numerics; the bf16 tower path passes None (one bf16
+    MXU pass — the tower consumes bf16 anyway).
     """
-    x = images.astype(jnp.float32) / 255.0
+    dt = (images.dtype if jnp.issubdtype(images.dtype, jnp.floating)
+          else jnp.float32)
+    x = images.astype(dt) / jnp.asarray(255.0, dt)
     if x.shape[2:] != (resolution, resolution):
-        x = jax.image.resize(x, x.shape[:2] + (resolution, resolution),
-                             method="bicubic")
-    return (x - IMAGE_MEAN[None, :, None, None]) / IMAGE_STD[None, :, None, None]
+        x = ops_resize.resize2d(x, (resolution, resolution),
+                                method="bicubic", precision=precision)
+    mean = IMAGE_MEAN.astype(dt)[None, :, None, None]
+    std = IMAGE_STD.astype(dt)[None, :, None, None]
+    return (x - mean) / std
 
 
 def encode_image(
@@ -158,7 +170,14 @@ def encode_image(
     v = params["visual"]
     x = images
     if preprocess:
-        x = preprocess_image(x, cfg.image_resolution)
+        if dtype is not None:
+            # bf16 tower: cast first and resize in one bf16 MXU pass — the
+            # tower consumes bf16 immediately after, and the fp32-highest
+            # resize costs 6x on the MXU for precision the tower discards.
+            x = preprocess_image(x.astype(dtype), cfg.image_resolution,
+                                 precision=None)
+        else:
+            x = preprocess_image(x, cfg.image_resolution)
     if dtype is not None:
         x = x.astype(dtype)
     # Patch embedding as extract+matmul rather than a strided conv: the

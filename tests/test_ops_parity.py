@@ -292,3 +292,46 @@ def test_pallas_level_flag_in_synthesis():
         m = float(jnp.max(jnp.abs(b))) + 1e-9
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3 * m)
+
+
+@pytest.mark.parametrize("shape,out_hw,method", [
+    ((2, 3, 64, 96), (20, 32), "bicubic"),     # downscale, antialias active
+    ((2, 3, 33, 47), (128, 100), "bilinear"),  # upscale
+    ((1, 3, 1024, 1024), (224, 224), "bicubic"),  # the CLIP hot shape
+    ((2, 3, 64, 64), (64, 32), "bicubic"),     # one dim unchanged
+])
+def test_resize2d_matches_jax_image_resize(shape, out_hw, method):
+    # ops.resize: constant-weight matmul resize == jax.image.resize
+    # (jax/_src/image/scale.py compute_weight_mat port).
+    import jax
+
+    from gagan_tpu.ops import resize as rz
+
+    x = jax.random.normal(jax.random.PRNGKey(7), shape, jnp.float32)
+    want = jax.image.resize(x, shape[:2] + out_hw, method)
+    got = rz.resize2d(x, out_hw, method=method, precision="highest")
+    # atol 1e-4: fp64-built weights vs jax's fp32 in-graph weights differ at
+    # ~1e-7/tap, accumulated over up-to-1024-tap dots.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_resize2d_grad_is_transposed_matmul():
+    import jax
+
+    from gagan_tpu.ops import resize as rz
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 2, 16, 16), jnp.float32)
+
+    def f(x):
+        y = rz.resize2d(x, (7, 7), precision="highest")
+        return jnp.sum(y * y)
+
+    def f_ref(x):
+        y = jax.image.resize(x, (1, 2, 7, 7), "bicubic")
+        return jnp.sum(y * y)
+
+    ga = jax.grad(f)(x)
+    gb = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-5, atol=1e-6)
