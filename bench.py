@@ -31,6 +31,12 @@ import time
 BASELINE_A100_IMGS_PER_SEC = 35.0
 BASELINE_A100_TRAIN_SEC_PER_KIMG = 77.8
 BASELINE_A100_ADAPT_STEPS_PER_SEC = 35.0 / (4 * 4)
+# The full im2im_difa protocol step is strictly heavier on the reference
+# stack: the td_single 4 G-forward-equivalents, plus 2 e4e decoder forwards
+# (get_image_latents calls net() which synthesizes UNUSED 1024² images
+# eagerly, trainers.py:992-1001 — torch can't DCE them), plus the IR-50
+# encoder fwd x2 / bwd x1 at 256² (~1 G-equivalent) -> ~7 equivalents.
+BASELINE_A100_DIFA_STEPS_PER_SEC = 35.0 / (4 * 7)
 
 _RETRY_ENV = "GAGAN_BENCH_INIT_RETRY"
 
@@ -216,16 +222,12 @@ def bench_train():
     return sec_per_batch / batch * 1000.0
 
 
-def bench_adaptation():
-    """One-shot CLIP adaptation step (DiFa shapes: 1024² G, batch 4,
-    ViT-B/32 + ViT-B/16)."""
+def _adaptation_setup():
     import jax
     import jax.numpy as jnp
 
     from gagan_tpu.clip import VIT_B_16, VIT_B_32, init_clip
     from gagan_tpu.models import stylegan2 as sg2
-    from gagan_tpu.train import adapt_losses as al
-    from gagan_tpu.train import adaptation as ad
 
     g_cfg = sg2.GeneratorConfig(
         img_resolution=1024,
@@ -241,7 +243,36 @@ def bench_adaptation():
         e = jax.random.normal(jax.random.PRNGKey(10 + i), (2, ccfg.embed_dim))
         e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
         emb[name] = {"src": e[0][None], "trg": e[1][None]}
+    return g_cfg, g_params, encoders, emb
 
+
+def _time_adaptation_blocks(trainer, seconds=1500):
+    """Steady-state training cadence: the loop dispatches steps back-to-back
+    and syncs on the log cadence (cfg.log_every=10, the im2im_difa.yaml
+    logging protocol) — time blocks of 10 async steps with one sync, like
+    AdaptationTrainer.train does."""
+    import jax
+
+    def block10():
+        for _ in range(10):
+            losses = trainer.train_step_async()
+        jax.device_get(losses)
+
+    with watchdog(seconds):
+        trainer.train_step()   # compile + sync
+        dt = _timed(block10, n_iters=4) / 10.0
+    return 1.0 / dt
+
+
+def bench_adaptation():
+    """One-shot CLIP adaptation step (DiFa shapes: 1024² G, batch 4,
+    ViT-B/32 + ViT-B/16), lightest loss stack (td_single + direction)."""
+    import jax
+
+    from gagan_tpu.train import adapt_losses as al
+    from gagan_tpu.train import adaptation as ad
+
+    g_cfg, g_params, encoders, emb = _adaptation_setup()
     cfg = ad.AdaptationConfig(
         trainer="td_single", batch_size=4, iter_num=301,
         parametrization="s_delta",
@@ -251,20 +282,41 @@ def bench_adaptation():
     trainer = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
                                    jax.random.PRNGKey(3),
                                    domain_embeddings=emb)
+    return _time_adaptation_blocks(trainer)
 
-    # Steady-state training cadence: the loop dispatches steps back-to-back
-    # and syncs on the log cadence (cfg.log_every=10, the im2im_difa.yaml
-    # logging protocol) — time blocks of 10 async steps with one sync, like
-    # AdaptationTrainer.train does.
-    def block10():
-        for _ in range(10):
-            losses = trainer.train_step_async()
-        jax.device_get(losses)
 
-    with watchdog(1500):
-        trainer.train_step()   # compile + sync
-        dt = _timed(block10, n_iters=4) / 10.0
-    return 1.0 / dt
+def bench_adaptation_difa():
+    """The REAL im2im_difa protocol step (im2im_difa.yaml:43-57): direction
+    1.0 + difa_w 6.0 + difa_local 1.0 — token hooks captured on both ViT
+    towers (difa_local), e4e image->W+ latents of both images computed
+    inside the jitted step with grads through the trainable side (difa_w,
+    trainers.py:992-1001/1159-1166), SCC sliding window updated."""
+    import numpy as np
+
+    import jax
+
+    from gagan_tpu.inversion import encoders as enc_lib
+    from gagan_tpu.train import adapt_losses as al
+    from gagan_tpu.train import adaptation as ad
+
+    g_cfg, g_params, encoders, emb = _adaptation_setup()
+    style_image = np.random.RandomState(11).randint(
+        0, 255, (3, 1024, 1024), np.uint8)
+    e_cfg = enc_lib.EncoderConfig(stylegan_size=1024)
+    e_params = enc_lib.init_encoder(jax.random.PRNGKey(5), e_cfg)
+    cfg = ad.AdaptationConfig(
+        trainer="im2im_difa", batch_size=4, iter_num=301,
+        parametrization="s_delta", clip_layer=8,
+        visual_encoders=("ViT-B/32", "ViT-B/16"),
+        loss=al.DirectLossConfig(
+            loss_funcs=("direction", "difa_local"), loss_coefs=(1.0, 1.0),
+            scc=al.SCCConfig(weight=6.0)))
+    trainer = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
+                                   jax.random.PRNGKey(3),
+                                   domain_embeddings=emb,
+                                   style_image=style_image,
+                                   latent_encoder=(e_cfg, e_params))
+    return _time_adaptation_blocks(trainer)
 
 
 def main():
@@ -277,6 +329,8 @@ def main():
         "train_vs_baseline": None,
         "adapt_steps_per_sec": None,
         "adapt_vs_baseline": None,
+        "adapt_difa_steps_per_sec": None,
+        "adapt_difa_vs_baseline": None,
     }
     try:
         ensure_backend()
@@ -311,6 +365,15 @@ def main():
               flush=True)
     except Exception as e:
         print(f"# adaptation bench failed: {e}", flush=True)
+    try:
+        steps_per_sec = bench_adaptation_difa()
+        result["adapt_difa_steps_per_sec"] = round(steps_per_sec, 3)
+        result["adapt_difa_vs_baseline"] = round(
+            steps_per_sec / BASELINE_A100_DIFA_STEPS_PER_SEC, 3)
+        print(f"# adaptation difa protocol: {steps_per_sec:.2f} steps/s "
+              f"(batch 4)", flush=True)
+    except Exception as e:
+        print(f"# adaptation difa bench failed: {e}", flush=True)
 
     print(json.dumps(result))
 

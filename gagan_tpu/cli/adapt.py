@@ -163,11 +163,30 @@ def main(ctx, config_path, network, outdir):
     scc = None
     loss_funcs = tuple(opt.get("loss_funcs", ["direction"]))
     loss_coefs = tuple(opt.get("loss_coefs", [1.0]))
+    latent_encoder = None
     if "difa_w" in loss_funcs:
         idx = loss_funcs.index("difa_w")
         scc = al.SCCConfig(weight=loss_coefs[idx])
         loss_funcs = loss_funcs[:idx] + loss_funcs[idx + 1:]
         loss_coefs = loss_coefs[:idx] + loss_coefs[idx + 1:]
+        # difa_w needs the e4e image->W+ encoder (the reference loads
+        # pretrained/e4e_ffhq_encode.pt, trainers.py:969-983).  Converted
+        # npz via inversion.e4e_checkpoint; random weights otherwise so the
+        # machinery runs (tagged like the random CLIP towers).
+        from gagan_tpu.inversion import encoders as enc_lib
+        from gagan_tpu.utils import checkpoint as ckpt_lib
+
+        e_cfg = enc_lib.EncoderConfig(stylegan_size=g_cfg.img_resolution)
+        e4e_path = cfg_dict.get("inversion", {}).get("e4e_checkpoint", "")
+        if e4e_path and os.path.isfile(e4e_path):
+            data = np.load(e4e_path, allow_pickle=False)
+            e_params = ckpt_lib.flat_to_tree({k: data[k] for k in data.files})
+        else:
+            click.echo("[adapt] difa_w: no inversion.e4e_checkpoint; using "
+                       "a random e4e encoder (machinery runs; semantics "
+                       "need real weights)")
+            e_params = enc_lib.init_encoder(jax.random.PRNGKey(7), e_cfg)
+        latent_encoder = (e_cfg, e_params)
 
     acfg = ad.AdaptationConfig(
         trainer=exp.get("trainer", "td_single"),
@@ -191,6 +210,8 @@ def main(ctx, config_path, network, outdir):
 
     # Domain embeddings / style image.
     kwargs = {}
+    if latent_encoder is not None:
+        kwargs["latent_encoder"] = latent_encoder
     if acfg.trainer == "td_single":
         try:
             kwargs["domain_embeddings"] = text_embeddings(

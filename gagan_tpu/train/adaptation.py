@@ -23,7 +23,9 @@ import numpy as np
 import optax
 
 from gagan_tpu.clip import model as clip_model
+from gagan_tpu.inversion import encoders as enc_lib
 from gagan_tpu.models import stylegan2 as sg2
+from gagan_tpu.ops import resize as ops_resize
 from gagan_tpu.params import offsets as offs_lib
 from gagan_tpu.train import adapt_losses as al
 
@@ -90,13 +92,19 @@ class AdaptationTrainer:
         style_image: Optional[np.ndarray] = None,
         style_latents: Optional[jax.Array] = None,
         style_image_inverted_A: Optional[np.ndarray] = None,
-        image_latent_fn: Optional[Callable] = None,  # e4e for difa_w
+        image_latent_fn: Optional[Callable] = None,  # custom img->latents
+        latent_encoder: Optional[
+            Tuple[enc_lib.EncoderConfig, Params]] = None,  # e4e for difa_w
     ):
         self.cfg = cfg
         self.g_cfg = g_cfg
         self.g_params = g_params
         self.clip_encoders = clip_encoders
         self.image_latent_fn = image_latent_fn
+        # e4e weights travel via _frozen (a jit ARGUMENT) — a closure-held
+        # tree would bake ~43M literals into the step's HLO.
+        self._latent_cfg = latent_encoder[0] if latent_encoder else None
+        self._latent_params = latent_encoder[1] if latent_encoder else None
         self.current_step = 0
 
         self.spec = offs_lib.OffsetsSpec.from_string(cfg.parametrization)
@@ -143,6 +151,7 @@ class AdaptationTrainer:
             "style_latents": self.style_latents,
             "style_image": (self.style_image if self.style_image is not None
                             else None),
+            "latent_encoder": self._latent_params,
         }
         self._step_fn = jax.jit(self._build_step())
         self._full_mask = jax.tree.map(lambda x: jnp.asarray(1.0, x.dtype),
@@ -349,10 +358,26 @@ class AdaptationTrainer:
                         clip_data[name]["trg_emb"] = emb_all[name]["trg"]
 
             inv_data = {}
-            if cfg.loss.scc is not None and self.image_latent_fn is not None:
+            if cfg.loss.scc is not None and (
+                    self._latent_cfg is not None
+                    or self.image_latent_fn is not None):
+                if self._latent_cfg is not None:
+                    # Reference difa_w (trainers.py:992-1001): resize 256,
+                    # e4e -> flat W+ [B, num_ws*w_dim]; grads flow through
+                    # the trainable image's encode (no no_grad there).
+                    lcfg = self._latent_cfg
+                    eparams = frozen["latent_encoder"]
+
+                    def latent_of(img):
+                        x = ops_resize.resize2d(
+                            img.astype(jnp.float32), (256, 256), "bilinear")
+                        ws_ = enc_lib.e4e_encode(lcfg, eparams, x)
+                        return ws_.reshape(ws_.shape[0], -1)
+                else:
+                    latent_of = self.image_latent_fn
                 inv_data = {
-                    "src_latents": self.image_latent_fn(frozen_img),
-                    "trg_latents": self.image_latent_fn(trainable_img),
+                    "src_latents": latent_of(frozen_img),
+                    "trg_latents": latent_of(trainable_img),
                     "iters": cur_iter,
                     "total_iters": cfg.iter_num,
                 }

@@ -250,6 +250,37 @@ def test_im2im_difa_tokens(tiny_setup):
     assert np.isfinite(losses["total"])
 
 
+@pytest.mark.slow
+def test_im2im_difa_full_protocol(tiny_setup):
+    """The complete im2im_difa loss stack (im2im_difa.yaml:43-50): direction
+    + difa_local + difa_w, where difa_w runs the e4e image->W+ encoder on
+    both images inside the jitted step (reference trainers.py:992-1001,
+    1159-1166) and updates the SCC sliding window."""
+    from gagan_tpu.inversion import encoders as enc_lib
+
+    g_cfg, g_params, encoders = tiny_setup
+    rng = np.random.RandomState(4)
+    style_image = rng.randint(0, 255, (3, 32, 32), np.uint8)
+    e_cfg = enc_lib.EncoderConfig(stylegan_size=32)
+    e_params = enc_lib.init_encoder(jax.random.PRNGKey(9), e_cfg)
+    cfg = ad.AdaptationConfig(
+        trainer="im2im_difa", batch_size=2, iter_num=5, lr=0.01,
+        clip_layer=1, parametrization="additive",
+        loss=al.DirectLossConfig(
+            loss_funcs=("direction", "difa_local"), loss_coefs=(1.0, 1.0),
+            scc=al.SCCConfig(weight=6.0, sliding_window_size=4)))
+    tr = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
+                              jax.random.PRNGKey(5), style_image=style_image,
+                              latent_encoder=(e_cfg, e_params))
+    losses = tr.train_step()
+    assert "difa_psp_loss" in losses
+    assert "difa_local_ViT-B-32" in losses
+    assert np.isfinite(losses["total"])
+    # The SCC circular window actually advanced with e4e batch means.
+    assert int(tr.scc_state.count) == 1
+    assert float(jnp.abs(tr.scc_state.source_set[0]).sum()) > 0
+
+
 def test_adaptation_checkpoint_roundtrip(tiny_setup, tmp_path):
     g_cfg, g_params, encoders = tiny_setup
     rng = np.random.RandomState(0)

@@ -329,6 +329,71 @@ def test_adapt_cli(tmp_path):
     assert meta["sg2_params"]["img_resolution"] == 32
 
 
+@pytest.mark.slow
+def test_adapt_cli_difa_protocol(tmp_path):
+    # The full im2im_difa protocol through the CLI (im2im_difa.yaml:43-50):
+    # direction + difa_w + difa_local.  difa_w wires the e4e latent encoder
+    # (random weights offline, like the CLIP towers); difa_local engages the
+    # token hooks; style latents are supplied so no projector runs.
+    import yaml
+
+    import PIL.Image
+
+    from gagan_tpu.cli import adapt as adapt_cli
+
+    img_path = str(tmp_path / "style.png")
+    PIL.Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    ).save(img_path)
+    lat_path = str(tmp_path / "latents.npz")
+    np.savez(lat_path, w=np.random.RandomState(1).randn(
+        1, 8, 32).astype(np.float32))
+
+    cfg = {
+        "exp": {"trainer": "im2im_difa", "name": "difa", "seed": 0,
+                "root": str(tmp_path / "adapt_runs")},
+        "training": {
+            "img_resolution": 32,
+            "generator_args": {"z_dim": 32, "w_dim": 32,
+                               "channel_base": 1024, "channel_max": 64,
+                               "num_mapping_layers": 2},
+            "batch_size": 2, "iter_num": 3,
+            "source_class": "Photo", "target_class": img_path,
+            "patch_key": "s_delta", "clip_layer": 1,
+            "visual_encoders": ["ViT-B/32"],
+            "clip_config_overrides": {
+                "image_resolution": 32, "vision_layers": 2,
+                "vision_width": 64, "vision_patch_size": 8,
+                "transformer_width": 32, "transformer_layers": 2,
+                "transformer_heads": 4, "embed_dim": 32},
+        },
+        "optimization_setup": {
+            "lr": 0.002,
+            "loss_funcs": ["direction", "difa_w", "difa_local"],
+            "loss_coefs": [1.0, 6.0, 1.0]},
+        "inversion": {"latents": lat_path},
+        "logging": {"log_every": 1},
+        "checkpointing": {"step_backup": 3},
+    }
+    cfg_path = str(tmp_path / "tiny_difa.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    runner = CliRunner()
+    result = runner.invoke(adapt_cli.main, ["--config", cfg_path],
+                           catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    assert "random e4e encoder" in result.output
+
+    outdir = str(tmp_path / "adapt_runs" / "difa")
+    with open(os.path.join(outdir, "losses.jsonl")) as f:
+        lines = [json.loads(line) for line in f]
+    assert len(lines) == 3
+    assert all("difa_psp_loss" in x and "difa_local_ViT-B-32" in x
+               for x in lines)
+    assert all(np.isfinite(x["total"]) for x in lines)
+
+
 def test_calc_metrics_cli(trained_run, tiny_zip, tmp_path):
     # calc_metrics CLI on a snapshot (DissimilarDomains/calc_metrics.py:120):
     # parametric fid<N>k path, random-tower warning, jsonl report.
