@@ -7,9 +7,14 @@ import os
 # jax.config AFTER import.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA:CPU-compile-bound on small boxes; backend optimization
+# buys nothing for single-shot tiny-shape test programs but costs ~30% of
+# the cold suite (measured 49.7 -> 33.9 s on the heaviest parity test).
+# Numerics stay IEEE; parity tolerances are unaffected.
+if "xla_backend_optimization_level" not in _flags:
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
@@ -33,7 +38,8 @@ def _cpu_cache_dir():
     return "/tmp/jax_cache_" + hashlib.md5(flags.encode()).hexdigest()[:10]
 
 
-jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("GAGAN_TEST_CACHE_DIR") or _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

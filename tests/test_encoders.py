@@ -48,17 +48,17 @@ def test_backbone_taps(ref_pair):
 
 def test_psp_parity(ref_pair):
     psp, _, cfg, params = ref_pair
-    x = np.random.RandomState(1).randn(2, 3, 256, 256).astype(np.float32)
+    x = np.random.RandomState(1).randn(1, 3, 256, 256).astype(np.float32)
     with torch.no_grad():
         want = psp(torch.from_numpy(x)).numpy()
     got = np.asarray(enc.psp_encode(cfg, params, jnp.asarray(x)))
-    assert got.shape == want.shape == (2, cfg.style_count, 512)
+    assert got.shape == want.shape == (1, cfg.style_count, 512)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
 
 
 def test_e4e_parity(ref_pair):
     _, e4e, cfg, params = ref_pair
-    x = np.random.RandomState(2).randn(2, 3, 256, 256).astype(np.float32)
+    x = np.random.RandomState(2).randn(1, 3, 256, 256).astype(np.float32)
     with torch.no_grad():
         want = e4e(torch.from_numpy(x)).numpy()
     got = np.asarray(enc.e4e_encode(cfg, params, jnp.asarray(x)))

@@ -14,7 +14,11 @@ from gagan_tpu.models import sngan as sn
 from gagan_tpu.models import zoo
 
 
+@pytest.mark.slow
 def test_proggan_shapes():
+    # Fixed FFHQ-1024 arch: the full apply is ~30 s of CPU conv compute,
+    # so the end-to-end smoke lives in the slow tier (zoo loader/registry
+    # coverage stays in core).
     params = pg.init_proggan(jax.random.PRNGKey(0))
     # Tiny smoke: run through the first blocks only via full apply at low
     # cost is impossible (fixed 1024 arch), so check full apply on batch 1.

@@ -203,7 +203,9 @@ def test_packed_last_block_parity():
     # plain path (ops/packed.py builders are exact reformulations).
     import dataclasses
 
-    cfg = g_cfg(res=64, cbase=2048, cmax=128)
+    # res 32 / cbase 1024 keeps the shipping 32-channel packed boundary
+    # (b1024 at cbase 32768) at a fraction of the res-64 compile+compute.
+    cfg = g_cfg(res=32, cbase=1024, cmax=128)
     params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
     z = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
     base = sg2.generator_apply(cfg, params, z, noise_mode="const")
@@ -226,10 +228,10 @@ def test_packed_first_block_discriminator_parity():
     import dataclasses
 
     cfg = sg2.DiscriminatorConfig(
-        img_resolution=64, img_channels=3, channel_base=2048,
+        img_resolution=32, img_channels=3, channel_base=1024,
         channel_max=128, mbstd_group_size=2)
     params = sg2.init_discriminator(jax.random.PRNGKey(0), cfg)
-    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
     base = sg2.discriminator_apply(cfg, params, img)
     packed = sg2.discriminator_apply(
         dataclasses.replace(cfg, packed_first_block=True), params, img)
@@ -243,10 +245,10 @@ def test_packed_head_blocks_discriminator_parity():
     import dataclasses
 
     cfg = sg2.DiscriminatorConfig(
-        img_resolution=64, img_channels=3, channel_base=2048,
+        img_resolution=32, img_channels=3, channel_base=1024,
         channel_max=128, mbstd_group_size=2)
     params = sg2.init_discriminator(jax.random.PRNGKey(0), cfg)
-    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
     base = sg2.discriminator_apply(cfg, params, img)
     for n in (2, 3):
         packed = sg2.discriminator_apply(
@@ -298,7 +300,7 @@ def test_packed_two_block_tail_parity():
     # identical to the plain path, with gradients flowing.
     import dataclasses
 
-    cfg = g_cfg(res=64, cbase=2048, cmax=128)
+    cfg = g_cfg(res=32, cbase=1024, cmax=128)
     params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
     z = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
     base = sg2.generator_apply(cfg, params, z, noise_mode="const")
@@ -320,7 +322,7 @@ def test_packed_two_block_tail_parity():
         return jnp.mean(jnp.square(sg2.generator_apply(cfg_p, p, z)))
 
     g = jax.grad(loss)(params)
-    for layer in ("b32.conv0", "b64.conv0"):
+    for layer in ("b16.conv0", "b32.conv0"):
         res, name = layer.split(".")
         w_grad = g["synthesis"][res][name]["weight"]
         assert float(jnp.linalg.norm(w_grad)) > 0

@@ -105,21 +105,33 @@ def test_style_mixing_shapes_and_prob():
     assert bool(jnp.allclose(ws_mix[:, 0], ws_nomix[:, 0]))
 
 
-def test_fused_step_runs_and_improves_state():
+@pytest.fixture(scope="module")
+def fused_env():
+    """One compiled single-device fused step (the 'both' reg variant is the
+    heaviest compile in this module, ~40 s on 1 CPU core) shared by the
+    improve-state check and the data-parallel comparison."""
     g_cfg, d_cfg = tiny_configs()
-    cfg = ts.TrainConfig(batch_size=4, ema_kimg=0.01,
+    cfg = ts.TrainConfig(batch_size=8, ema_kimg=0.01,
                          loss=gan_loss.GANLossConfig(pl_batch_shrink=2))
     g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
     d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
-    g_tx, d_tx, g_mask, d_mask = ts.build_optimizers(cfg, g_params, d_params)
+    g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
     state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
-    step = jax.jit(ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx))
+    step_fn = ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx)
 
-    real = jax.random.normal(jax.random.PRNGKey(2), (4, 3, 16, 16))
-    z = jax.random.normal(jax.random.PRNGKey(3), (4, 32))
-    state2, metrics = step(state, real, None, z, None, jax.random.PRNGKey(4))
+    real = jax.random.normal(jax.random.PRNGKey(2), (8, 3, 16, 16))
+    z = jax.random.normal(jax.random.PRNGKey(3), (8, 32))
+    key = jax.random.PRNGKey(4)
+    state2, metrics = jax.jit(step_fn)(state, real, None, z, None, key)
+    return dict(g_cfg=g_cfg, d_cfg=d_cfg, cfg=cfg, step_fn=step_fn,
+                state=state, state2=state2, metrics=metrics,
+                real=real, z=z, key=key)
 
-    assert int(state2.cur_nimg) == 4
+
+def test_fused_step_runs_and_improves_state(fused_env):
+    state, state2, metrics = (fused_env["state"], fused_env["state2"],
+                              fused_env["metrics"])
+    assert int(state2.cur_nimg) == 8
     for k in ("Loss/G/loss", "Loss/D/loss", "Loss/r1_penalty", "Loss/pl_penalty",
               "Loss/signs/real"):
         assert k in metrics and np.isfinite(float(metrics[k])), k
@@ -164,22 +176,13 @@ def test_freeze_d_layers():
     assert mask["b4"]["conv"]["weight"] is True
 
 
-def test_data_parallel_step_matches_single_device():
+def test_data_parallel_step_matches_single_device(fused_env):
     # The same fused step, jitted over an 8-device mesh with the batch
-    # sharded, must produce the same state as single-device execution.
-    g_cfg, d_cfg = tiny_configs()
-    cfg = ts.TrainConfig(batch_size=8)
-    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
-    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
-    g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
-    state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
-    step_fn = ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx)
-
-    real = jax.random.normal(jax.random.PRNGKey(2), (8, 3, 16, 16))
-    z = jax.random.normal(jax.random.PRNGKey(3), (8, 32))
-    key = jax.random.PRNGKey(4)
-
-    ref_state, ref_metrics = jax.jit(step_fn)(state, real, None, z, None, key)
+    # sharded, must produce the same state as single-device execution
+    # (the single-device side comes precomputed from the shared fixture).
+    step_fn, state = fused_env["step_fn"], fused_env["state"]
+    real, z, key = fused_env["real"], fused_env["z"], fused_env["key"]
+    ref_state, ref_metrics = fused_env["state2"], fused_env["metrics"]
 
     assert len(jax.devices()) >= 8, "test requires the 8-device CPU mesh"
     mesh = create_mesh(8)

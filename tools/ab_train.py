@@ -55,10 +55,12 @@ def blob_dataset(n: int, res: int, seed: int = 0) -> np.ndarray:
 
 
 def parse_arm(spec: str):
-    """Arm grammar: '<exact|fast|simultaneous>[@pX][@dN]'.
+    """Arm grammar: '<exact|fast|simultaneous>[@pX][@dN][@gT]'.
 
     @pX  — fixed augment probability X (no ADA adjustment), e.g. '@p0.6';
-    @dN  — train on only the first N images (D overfits, ADA drives p up).
+    @dN  — train on only the first N images (D overfits, ADA drives p up);
+    @gT  — GA refinement splice with ga_threshold=T (the reference
+           training_loop.py:199 default is 0.5).
     Bare names keep the round-2 semantics (ADA on the full dataset).
     """
     parts = spec.split("@")
@@ -66,14 +68,17 @@ def parse_arm(spec: str):
     assert base in ("exact", "fast", "simultaneous"), spec
     fixed_p = None
     n_data = None
+    ga_threshold = None
     for p in parts[1:]:
         if p.startswith("p"):
             fixed_p = float(p[1:])
         elif p.startswith("d"):
             n_data = int(p[1:])
+        elif p.startswith("g"):
+            ga_threshold = float(p[1:])
         else:
             raise ValueError(f"bad arm token {p!r} in {spec!r}")
-    return base, fixed_p, n_data
+    return base, fixed_p, n_data, ga_threshold
 
 
 def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
@@ -83,7 +88,7 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
     from gagan_tpu.train import gan_loss, train_step as ts
     from gagan_tpu.models import stylegan2 as sg2
 
-    base, fixed_p, n_data = parse_arm(name)
+    base, fixed_p, n_data, ga_threshold = parse_arm(name)
     eval_data = data
     if n_data is not None:
         data = data[:n_data]
@@ -99,7 +104,8 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
         batch_size=batch, ema_kimg=2.0, ema_rampup=0.05,
         ada_target=(None if fixed_p is not None else 0.6), ada_kimg=20.0,
         loss=gan_loss.GANLossConfig(r1_gamma=0.0002 * res * res / batch),
-        simultaneous_main=(base == "simultaneous"))
+        simultaneous_main=(base == "simultaneous"),
+        ga_threshold=ga_threshold)
 
     aug_cfg = aug_lib.make_config("bgc")
     if base == "exact":
@@ -125,7 +131,24 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
     rng = np.random.RandomState(seed + 2)
     key = jax.random.PRNGKey(seed + 3)
     n_steps = int(kimg * 1000) // batch
+
+    # AOT-compile every step variant BEFORE the timed loop.  Round 3 timed
+    # compile inside wall_s, which made the FIRST arm of each geom_mode an
+    # 8.8x wall outlier (exact@p0.3 2056 s vs exact@p0.6 233 s — identical
+    # programs, p is runtime data; the later arm merely hit the persistent
+    # executable cache).  docs/ab_dynamics_p.json predates this fix.
+    t0 = time.time()
+    ex_real = jnp.zeros((batch, 3, res, res), jnp.float32)
+    ex_z = jnp.zeros((batch, 64), jnp.float32)
+    ex_key = jax.random.PRNGKey(0)
+    steps = {vname: fn.lower(state, ex_real, None, ex_z, None,
+                             ex_key).compile()
+             for vname, fn in steps.items()}
+    compile_s = time.time() - t0
+
     traj = {"signs_real": [], "ada_p": [], "g_loss": [], "d_loss": []}
+    if ga_threshold is not None:
+        traj["ga_replaced"] = []
     signs_acc = []
     t0 = time.time()
     for it in range(n_steps):
@@ -148,6 +171,9 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
             traj["ada_p"].append(float(state.ada_p))
             traj["g_loss"].append(float(metrics["Loss/G/loss"]))
             traj["d_loss"].append(float(metrics["Loss/D/loss"]))
+            if ga_threshold is not None:
+                traj["ga_replaced"].append(
+                    float(metrics["Loss/ga/replaced"]))
     wall = time.time() - t0
 
     # FID-like proxy on the random inception tower: EMA samples vs data.
@@ -176,10 +202,14 @@ def run_arm(name: str, data: np.ndarray, kimg: float, batch: int,
     from gagan_tpu.metrics.fid import frechet_distance
 
     fid_proxy = float(frechet_distance(mu_g, cov_g, mu_r, cov_r))
-    return {"arm": name, "fid_proxy": fid_proxy, "wall_s": round(wall, 1),
-            "final_ada_p": traj["ada_p"][-1],
-            "mean_signs_real": float(np.mean(traj["signs_real"])),
-            "traj": traj}
+    rec = {"arm": name, "fid_proxy": fid_proxy, "wall_s": round(wall, 1),
+           "compile_s": round(compile_s, 1),
+           "final_ada_p": traj["ada_p"][-1],
+           "mean_signs_real": float(np.mean(traj["signs_real"])),
+           "traj": traj}
+    if ga_threshold is not None:
+        rec["mean_ga_replaced"] = float(np.mean(traj["ga_replaced"]))
+    return rec
 
 
 def main():
