@@ -25,6 +25,17 @@ alignment rules) measures within 5% of the one-hot-conv formulation at the
 1024-pipe shapes (36.6 vs 38.4 ms) — arbitrary per-row lane shifts cost
 lane rotations either way, and the conv form gets them through the MXU
 with no custom kernel to maintain.
+
+Cost note (round-3 A/B "exact@p0.3 outlier" resolved): the exact gather
+path does NOT have a runtime cliff.  The 8.8x wall-time outlier in
+docs/ab_dynamics_p.json (exact@p0.3 2056 s vs exact@p0.6 233 s, identical
+programs — p is runtime data, not a compile-time constant) was the FIRST
+exact arm paying the full train-step compile inside the timed loop while
+the second hit the persistent executable cache.  tools/ab_train.py now
+AOT-compiles every step variant before timing and reports compile_s
+separately; the re-measured exact arm (docs/ga_dynamics.json) runs at
+fast-arm-comparable wall time per step plus the documented ~650 ms/batch
+gather overhead.
 """
 
 from __future__ import annotations

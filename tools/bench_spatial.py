@@ -174,8 +174,21 @@ def main():
 
     from gagan_tpu.parallel import mesh as mesh_lib
 
+    # NO persistent cache on CPU: XLA:CPU cache entries embed the BUILD
+    # host's CPU features and this VM migrates between hosts — loading a
+    # stale entry warns/SIGILLs (cpu_aot_loader "machine type doesn't
+    # match").  Use a per-boot tmp dir so only same-boot reruns hit.
     if jax.default_backend() == "cpu":
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        import uuid
+
+        boot = "unknown"
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as f:
+                boot = f.read().strip()
+        except OSError:
+            boot = uuid.getnode()
+        jax.config.update("jax_compilation_cache_dir",
+                          f"/tmp/jax_cache_spatial_{boot}")
     n = len(jax.devices())
     mesh = mesh_lib.create_mesh(n)
     print(f"devices={n} backend={jax.default_backend()} res={args.res}",

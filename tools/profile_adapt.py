@@ -22,6 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# Persist compiled executables across runs — the axon-tunnel compile
+# service takes 180-1200 s per program (bench.py:97-104).  TPU-only: the
+# XLA:CPU cache embeds the build host's CPU features and this VM migrates.
+if jax.default_backend() != "cpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_gagan_bench"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def timeit(fn, *args, n=6, label=""):
     out = fn(*args)
