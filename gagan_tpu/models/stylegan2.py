@@ -107,6 +107,13 @@ class SynthesisConfig:
     # reformulation of its convs on a 2x2-packed grid so the MXU sees 4x the
     # channels (gagan_tpu.ops.packed).  ~2-3x faster tail on TPU.
     packed_last_block: bool = False
+    # Relayout-free tail boundary: the final block's torgb runs as ONE
+    # lhs-dilated transposed conv from the packed feature map straight to
+    # the unpacked image (ops/packed.build_torgb_transposed), the skip img
+    # upsamples unpacked, and no pack/unpack op exists in fwd or VJP.
+    # Exact same math; cost vs the packed boundary measured by
+    # tools/bench_relayout.py.
+    packed_fused_torgb: bool = True
     # How many trailing blocks run packed when packed_last_block is set.
     # With 2, the feature map crosses the block boundary still packed
     # (build_packed_upconv_packed) — worthwhile at 1024 where the 512
@@ -696,6 +703,27 @@ def _packed_tail(cfg, params, x, img, tail, noise_mode, rng, hooks,
                                hooks)
         weight = _layer_weight(lp, name2, hooks)
         img_ch = weight.shape[0]
+        is_last = bi == len(tail) - 1
+        if cfg.packed_fused_torgb and is_last:
+            # Relayout-free boundary: torgb 1x1 + depth-to-space as ONE
+            # lhs-dilated transposed conv to the unpacked image, skip img
+            # upsampled unpacked — no pack/unpack op in fwd or VJP
+            # (measured vs the packed boundary in tools/bench_relayout.py).
+            krgb = pk.build_torgb_transposed(weight[:, :, 0, 0])
+            y = h * pk.pack_channel_tile(styles).astype(h.dtype)[
+                :, :, None, None]
+            y = pk.conv_transposed_unpack(y, krgb.astype(dtype))
+            y = bias_act(y, lp["bias"].astype(y.dtype),
+                         clamp=cfg.conv_clamp)
+            y = y.astype(jnp.float32)
+            if img is not None:
+                if bi > 0:
+                    img = pk.unpack(img)
+                img = upsample2d(img, taps)
+                img = img + y
+            else:
+                img = y
+            return img
         wrgb = jnp.zeros((4 * img_ch, 4 * in_ch, 1, 1), dtype=weight.dtype)
         for cell in range(4):
             wrgb = wrgb.at[cell * img_ch:(cell + 1) * img_ch,

@@ -242,6 +242,40 @@ def fir_upsample_packed(img: jax.Array, f: jax.Array) -> jax.Array:
     return y.reshape(n, 4 * channels, hh, ww)
 
 
+def build_torgb_transposed(w: jax.Array) -> jax.Array:
+    """Packed-cell torgb 1x1 composed with depth-to-space, as one kernel.
+
+    w: [img_ch, C] (the styled torgb weight) -> K [img_ch, 4C, 2, 2] such
+    that conv_general_dilated(h, K, lhs_dilation=2, padding (1,0)x2) ==
+    unpack(conv_packed(h, block_diag_cells(w))) — i.e. the [N,3,res,res]
+    image DIRECTLY from the packed feature map, with no unpack relayout op
+    anywhere (and none in the VJP either: the transpose of an lhs_dilated
+    conv is a strided conv).  Measured against the packed-1x1+unpack
+    boundary on v5e by tools/bench_relayout.py.
+
+    Cell arithmetic: out[n, c, 2h'+i, 2w'+j] = sum_ci w[c,ci] *
+    h[n, cell(i,j)*C+ci, h', w']; with lhs_dilation=2 and pad_lo=1 the
+    kernel tap (1-i, 1-j) reads the dilated input at the (h', w') sample,
+    so K[c, cell(i,j)*C+ci, 1-i, 1-j] = w[c, ci].
+    """
+    img_ch, c = w.shape
+    k = jnp.zeros((img_ch, 4 * c, 2, 2), dtype=w.dtype)
+    for i in range(2):
+        for j in range(2):
+            cell = i * 2 + j
+            k = k.at[:, cell * c:(cell + 1) * c, 1 - i, 1 - j].set(w)
+    return k
+
+
+def conv_transposed_unpack(h: jax.Array, k: jax.Array) -> jax.Array:
+    """Apply a :func:`build_torgb_transposed` kernel: packed [N,4C,H,W] ->
+    unpacked [N, img_ch, 2H, 2W] in one lhs-dilated convolution."""
+    return jax.lax.conv_general_dilated(
+        h, k.astype(h.dtype), window_strides=(1, 1),
+        padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+
 def conv_packed(x: jax.Array, wp: jax.Array, groups: int = 1) -> jax.Array:
     pad = (wp.shape[-1] - 1) // 2
     return jax.lax.conv_general_dilated(

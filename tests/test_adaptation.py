@@ -288,11 +288,14 @@ def test_adaptation_checkpoint_roundtrip(tiny_setup, tmp_path):
         "src": jnp.asarray(rng.randn(1, 32).astype(np.float32)),
         "trg": jnp.asarray(rng.randn(1, 32).astype(np.float32)),
     }}
+    # Same loss/parametrization as test_td_single_trains ON PURPOSE: the
+    # jitted step program is then identical and the in-process jit cache
+    # reuses its compile (iter_num/checkpoint_every never enter the jaxpr).
     cfg = ad.AdaptationConfig(
         trainer="td_single", batch_size=2, iter_num=2, lr=0.05,
-        checkpoint_every=2,
-        loss=al.DirectLossConfig(loss_funcs=("direction",),
-                                 loss_coefs=(1.0,)))
+        checkpoint_every=2, parametrization="additive",
+        loss=al.DirectLossConfig(loss_funcs=("direction", "offsets_l2"),
+                                 loss_coefs=(1.0, 0.1)))
     tr = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
                               jax.random.PRNGKey(2), domain_embeddings=emb)
     tr.train(checkpoint_dir=str(tmp_path))

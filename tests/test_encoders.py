@@ -46,7 +46,11 @@ def test_backbone_taps(ref_pair):
     assert feats["c3"].shape == (1, 512, 16, 16)
 
 
+@pytest.mark.slow
 def test_psp_parity(ref_pair):
+    # Slow tier: pSp and e4e share the backbone+taps (covered in core by
+    # test_backbone_taps) and differ only in the style-head arrangement;
+    # e4e (the encoder the difa_w path ships with) keeps core parity.
     psp, _, cfg, params = ref_pair
     x = np.random.RandomState(1).randn(1, 3, 256, 256).astype(np.float32)
     with torch.no_grad():

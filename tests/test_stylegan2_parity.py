@@ -224,6 +224,23 @@ def test_packed_last_block_parity():
     assert float(jnp.linalg.norm(w_grad)) > 0
 
 
+@pytest.mark.slow
+def test_packed_unfused_torgb_parity():
+    # The non-default packed-1x1 + unpack boundary form
+    # (packed_fused_torgb=False) must also match the plain path.
+    import dataclasses
+
+    cfg = g_cfg(res=32, cbase=1024, cmax=128)
+    params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
+    base = sg2.generator_apply(cfg, params, z, noise_mode="const")
+    cfg_u = dataclasses.replace(cfg, synthesis=dataclasses.replace(
+        cfg.synthesis, packed_last_block=True, packed_fused_torgb=False))
+    packed_u = sg2.generator_apply(cfg_u, params, z, noise_mode="const")
+    np.testing.assert_allclose(np.asarray(packed_u), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_packed_first_block_discriminator_parity():
     import dataclasses
 
@@ -272,7 +289,9 @@ def test_packed_head_blocks_discriminator_parity():
 def test_remat_matches_plain():
     import dataclasses
 
-    cfg = g_cfg(res=32)
+    # res 16 exercises the same block-level jax.checkpoint wrapping at a
+    # fraction of the compile.
+    cfg = g_cfg(res=16)
     params = sg2.init_generator(jax.random.PRNGKey(0), cfg)
     z = jax.random.normal(jax.random.PRNGKey(1), (2, 64))
     base = sg2.generator_apply(cfg, params, z)

@@ -378,7 +378,9 @@ def test_accum_rounds_match_full_batch():
     z = jax.random.normal(jax.random.PRNGKey(4), (4, 32))
 
     states, grads = [], []
-    for accum, scan in ((1, True), (2, True), (2, False)):
+    # The unrolled accumulation path (accum_scan=False) is covered by the
+    # slow-tier test_accum_unrolled_matches_scan; core compiles 2 variants.
+    for accum, scan in ((1, True), (2, True)):
         cfg = ts.TrainConfig(batch_size=4, accum_rounds=accum,
                              accum_scan=scan, loss=lcfg)
         g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
@@ -390,8 +392,7 @@ def test_accum_rounds_match_full_batch():
 
     # With use_noise off and mixing off, run_G is key-independent, so the
     # chunked d_params update must match the full-batch one exactly-ish
-    # (fp reassociation of the chunk mean only) — for both the lax.scan
-    # and the unrolled accumulation paths.
+    # (fp reassociation of the chunk mean only).
     flat1 = jax.tree_util.tree_leaves(states[0].d_params)
     for other in states[1:]:
         for a, b in zip(flat1, jax.tree_util.tree_leaves(other.d_params)):
@@ -408,6 +409,41 @@ def test_accum_rounds_match_full_batch():
     state, m2 = jax.jit(d_reg)(state, real, None, key)
     assert np.isfinite(float(m1["Loss/G/reg"]))
     assert np.isfinite(float(m2["Loss/D/reg"]))
+
+
+@pytest.mark.slow
+def test_accum_unrolled_matches_scan():
+    # The unrolled accumulation path (accum_scan=False) must match the
+    # lax.scan path bit-for-bit-ish (chunk-mean reassociation only).
+    g_cfg = sg2.GeneratorConfig(
+        z_dim=32, w_dim=32, img_resolution=16, img_channels=3,
+        mapping=sg2.MappingConfig(num_layers=2),
+        synthesis=sg2.SynthesisConfig(channel_base=512, channel_max=32,
+                                      use_noise=False))
+    d_cfg = sg2.DiscriminatorConfig(
+        img_resolution=16, img_channels=3, channel_base=512, channel_max=32,
+        mbstd_group_size=None, mbstd_num_channels=0)
+    g_params = sg2.init_generator(jax.random.PRNGKey(0), g_cfg)
+    d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
+    lcfg = gan_loss.GANLossConfig(style_mixing_prob=0.0)
+    key = jax.random.PRNGKey(2)
+    real = jax.random.normal(jax.random.PRNGKey(3), (4, 3, 16, 16))
+    z = jax.random.normal(jax.random.PRNGKey(4), (4, 32))
+
+    states = []
+    for scan in (True, False):
+        cfg = ts.TrainConfig(batch_size=4, accum_rounds=2,
+                             accum_scan=scan, loss=lcfg)
+        g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
+        state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+        _, _, d_main, _, _ = ts.make_phase_steps(cfg, g_cfg, d_cfg,
+                                                 g_tx, d_tx)
+        new_state, _ = jax.jit(d_main)(state, real, None, z, None, key)
+        states.append(new_state)
+    for a, b in zip(jax.tree_util.tree_leaves(states[0].d_params),
+                    jax.tree_util.tree_leaves(states[1].d_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def test_gd_main_loss_gradient_routing():

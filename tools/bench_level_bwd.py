@@ -84,6 +84,12 @@ def main():
                     help="chained level reps per timed dispatch")
     args = ap.parse_args()
 
+    # The axon tunnel transiently refuses/fails right after a previous
+    # client exits — reuse the bench's retrying init.
+    from bench import ensure_backend
+
+    ensure_backend()
+
     from gagan_tpu.ops.bias_act import bias_act
     from gagan_tpu.ops.modulated_conv2d import modulated_conv2d
 

@@ -75,6 +75,12 @@ def main():
     ap.add_argument("--repeat", type=int, default=24)
     args = ap.parse_args()
 
+    # The axon tunnel transiently refuses/fails right after a previous
+    # client exits — reuse the bench's retrying init.
+    from bench import ensure_backend
+
+    ensure_backend()
+
     from gagan_tpu.ops import packed as pk
 
     N, R = args.batch, args.repeat

@@ -30,7 +30,7 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           fp16_res: int = 4, reuse_fakes: bool = False,
           packed_head_blocks: int = 1, remat_min_res: int = None,
           accum_scan: bool = True, reg_remat_selective: bool = False,
-          d_fp16_res: int = None):
+          d_fp16_res: int = None, fused_torgb: bool = True):
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -43,6 +43,7 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
             num_fp16_res=fp16_res, conv_clamp=256,
             packed_last_block=packed and res >= 64,
             packed_tail_blocks=packed_blocks,
+            packed_fused_torgb=fused_torgb,
             remat=remat, remat_min_res=remat_min_res))
     d_cfg = sg2.DiscriminatorConfig(
         img_resolution=res, channel_base=int(fmaps * 32768), channel_max=512,
@@ -145,6 +146,9 @@ def main():
                     choices=["threefry2x32", "rbg"],
                     help="jax_default_prng_impl for the step's in-jit draws "
                          "(noise layers + augment); rbg is cheaper on TPU")
+    ap.add_argument("--no-fused-torgb", action="store_true",
+                    help="use the packed-1x1+unpack tail boundary instead "
+                         "of the relayout-free transposed-conv torgb")
     ap.add_argument("--flops", action="store_true",
                     help="report XLA cost-analysis FLOPs per variant and "
                          "achieved TFLOP/s (MFU vs the v5e 197 TF/s bf16 "
@@ -172,7 +176,8 @@ def main():
                          remat_min_res=args.remat_min_res,
                          accum_scan=not args.no_accum_scan,
                          reg_remat_selective=args.reg_remat_selective,
-                         d_fp16_res=args.d_fp16_res)
+                         d_fp16_res=args.d_fp16_res,
+                         fused_torgb=not args.no_fused_torgb)
 
     if args.rng_impl:
         jax.config.update("jax_default_prng_impl", args.rng_impl)
