@@ -30,7 +30,17 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
           fp16_res: int = 4, reuse_fakes: bool = False,
           packed_head_blocks: int = 1, remat_min_res: int = None,
           accum_scan: bool = True, reg_remat_selective: bool = False,
-          d_fp16_res: int = None, fused_torgb: bool = True):
+          d_fp16_res: int = None, fused_torgb: bool = True,
+          parametrization: str = None, g_parts: tuple = ("all",),
+          g_lr: float = None):
+    """Build the fused-step variants + state.
+
+    With ``parametrization``/``g_parts`` set this reproduces the
+    DissimilarDomains few-shot adaptation protocol (reference
+    `DissimilarDomains/README.md:149-212` run 05, Affine+): offsets
+    parameterization trained jointly, G trainable parts restricted to the
+    affine/weights-offset grammar, full D, ADA — i.e. BASELINE.md config 4.
+    """
     from gagan_tpu.models import stylegan2 as sg2
     from gagan_tpu.train import augment as aug_lib
     from gagan_tpu.train import gan_loss, train_step as ts
@@ -59,7 +69,11 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
         ada_target=0.6 if aug else None,
         accum_rounds=accum, reg_accum_rounds=reg_accum,
         g_reg_accum_rounds=g_reg_accum, d_reg_accum_rounds=d_reg_accum,
-        simultaneous_main=reuse_fakes, accum_scan=accum_scan)
+        simultaneous_main=reuse_fakes, accum_scan=accum_scan,
+        g_requires_grad_parts=tuple(g_parts))
+    if g_lr is not None:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, g_lr=g_lr)
 
     # reg_remat: the hot variants (no d_reg, i.e. 15 of 16 batches) run
     # un-remat'd; the variant containing R1 — whose double-backward peaks
@@ -81,6 +95,33 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
     d_params = sg2.init_discriminator(jax.random.PRNGKey(1), d_cfg)
     g_tx, d_tx, _, _ = ts.build_optimizers(cfg, g_params, d_params)
     state = ts.init_train_state(cfg, g_params, d_params, g_tx, d_tx)
+
+    # Offsets parameterization (the few-shot adaptation protocol): mirrors
+    # train/loop.py:108-141 so the bench measures exactly the step the CLI
+    # schedules under --use-domain-modulation.
+    offsets_spec = offsets_tx = None
+    if parametrization:
+        import optax
+
+        from gagan_tpu.params import offsets as offs_lib
+        from gagan_tpu.train import masks as masks_lib
+
+        offsets_spec = offs_lib.OffsetsSpec.from_string(
+            parametrization, weight_parts=tuple(g_parts))
+        offs = offs_lib.init_offsets(jax.random.PRNGKey(5), g_cfg.synthesis,
+                                     offsets_spec)
+        o_mask = jax.tree.map(
+            lambda a, b: a and b,
+            offs_lib.trainable_mask(offsets_spec, offs),
+            masks_lib.offsets_mask(offs, tuple(g_parts)))
+        offsets_tx = optax.multi_transform(
+            {"train": optax.adam(cfg.g_lr, b1=cfg.adam_beta1,
+                                 b2=cfg.adam_beta2, eps=cfg.adam_eps),
+             "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda m: "train" if m else "freeze", o_mask))
+        state = state.replace(
+            offsets=offs, offsets_ema=jax.tree.map(jnp.copy, offs),
+            offsets_opt_state=offsets_tx.init(offs))
     # The three variants the training loop actually schedules per 16 batches
     # (Greg every 4, Dreg every 16): 12x (no reg), 3x (+Greg), 1x (both).
     steps = {}
@@ -95,6 +136,8 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
                 ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx,
                                    augment_fn=augment_fn,
                                    do_g_reg=do_g, do_d_reg=do_d,
+                                   offsets_spec=offsets_spec,
+                                   offsets_tx=offsets_tx,
                                    reg_d_cfg=both_d_cfg),
                 donate_argnums=(0,))
             continue
@@ -102,7 +145,9 @@ def build(res: int, batch: int, aug: bool, fmaps: float, remat: bool,
         steps[name] = jax.jit(
             ts.make_fused_step(cfg, v_g, v_d, g_tx, d_tx,
                                augment_fn=augment_fn,
-                               do_g_reg=do_g, do_d_reg=do_d),
+                               do_g_reg=do_g, do_d_reg=do_d,
+                               offsets_spec=offsets_spec,
+                               offsets_tx=offsets_tx),
             donate_argnums=(0,))
     return steps, state
 
@@ -146,6 +191,16 @@ def main():
                     choices=["threefry2x32", "rbg"],
                     help="jax_default_prng_impl for the step's in-jit draws "
                          "(noise layers + augment); rbg is cheaper on TPU")
+    ap.add_argument("--parametrization", default=None,
+                    help="offsets parametrization grammar (e.g. "
+                         "out_in_additive) — turns on the few-shot "
+                         "adaptation protocol step")
+    ap.add_argument("--g-parts", default="all",
+                    help="comma G trainable parts (with --parametrization: "
+                         "e.g. synt_affine,tRGB_affine,"
+                         "synt_weights_offset.b64,tRGB_weights_offset.b64)")
+    ap.add_argument("--glrate", type=float, default=None,
+                    help="G learning rate override (protocol 05 uses 0.02)")
     ap.add_argument("--no-fused-torgb", action="store_true",
                     help="use the packed-1x1+unpack tail boundary instead "
                          "of the relayout-free transposed-conv torgb")
@@ -177,7 +232,10 @@ def main():
                          accum_scan=not args.no_accum_scan,
                          reg_remat_selective=args.reg_remat_selective,
                          d_fp16_res=args.d_fp16_res,
-                         fused_torgb=not args.no_fused_torgb)
+                         fused_torgb=not args.no_fused_torgb,
+                         parametrization=args.parametrization,
+                         g_parts=tuple(args.g_parts.split(",")),
+                         g_lr=args.glrate)
 
     if args.rng_impl:
         jax.config.update("jax_default_prng_impl", args.rng_impl)
