@@ -30,14 +30,42 @@ def extract_features(images, feature_fn: Optional[Callable] = None,
     return np.concatenate(feats, axis=0)
 
 
+def make_alex_lpips(params=None, key=None) -> Callable:
+    """Pairwise LPIPS(net='alex') distance fn — the reference GA fitness
+    metric (`GA/evaluation.py:13`, `lpips.LPIPS(net='alex')`).
+
+    ``params``: converted weights (metrics/alexnet.py naming; see
+    tools/convert_weights.py::convert_lpips_alex) or None for tagged random
+    weights (machinery runs; values need the real tower).  Returns
+    f(a, b) -> [N] per-pair distances for [-1, 1] NCHW images."""
+    import jax
+
+    from gagan_tpu.metrics import alexnet
+
+    if params is None:
+        params = alexnet.init_alexnet_lpips(
+            key if key is not None else jax.random.PRNGKey(0))
+    return jax.jit(lambda a, b: alexnet.lpips_distance(params, a, b))
+
+
 def calculate_metrics(
     real_images: jnp.ndarray,        # [N, C, H, W] uint8 [0, 255]
     generated_images: jnp.ndarray,
     feature_fn: Callable,            # images -> [N, D] (e.g. inception)
     lpips_fn: Optional[Callable] = None,
     kid_subset_size: int = 100,
+    lpips_pair_fn: Optional[Callable] = None,
 ) -> Tuple[float, float, float]:
-    """Returns (fid, kid, lpips) like the reference calculate_metrics."""
+    """Returns (fid, kid, lpips) like the reference calculate_metrics.
+
+    LPIPS comes from either interface:
+      * ``lpips_pair_fn(a, b) -> [N]`` — exact pairwise distances (the
+        reference protocol: `make_alex_lpips`, matching LPIPS(net='alex'));
+      * ``lpips_fn(images) -> [N, D]`` — an embedding whose squared L2
+        distance is the LPIPS value (e.g. vgg16.vgg16_lpips).
+    Images reach the LPIPS tower in [-1, 1] (the lpips-package input
+    convention) regardless of the uint8 [0, 255] metric-feature range.
+    """
     real_f = np.asarray(feature_fn(real_images))
     gen_f = np.asarray(feature_fn(generated_images))
 
@@ -50,8 +78,12 @@ def calculate_metrics(
         max_subset_size=min(kid_subset_size, real_f.shape[0]))
 
     lpips = float("nan")
-    if lpips_fn is not None:
-        n = min(real_images.shape[0], generated_images.shape[0])
+    n = min(real_images.shape[0], generated_images.shape[0])
+    if lpips_pair_fn is not None:
+        a = jnp.asarray(real_images[:n], jnp.float32) / 127.5 - 1.0
+        b = jnp.asarray(generated_images[:n], jnp.float32) / 127.5 - 1.0
+        lpips = float(jnp.mean(lpips_pair_fn(a, b)))
+    elif lpips_fn is not None:
         a = lpips_fn(real_images[:n])
         b = lpips_fn(generated_images[:n])
         lpips = float(jnp.mean(jnp.sum(jnp.square(a - b), axis=-1)))

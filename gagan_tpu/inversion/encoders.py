@@ -86,8 +86,13 @@ def _bottleneck_ir_se(p, x, in_c, depth, stride):
     return y + shortcut
 
 
-def backbone_features(params: Params, x: jax.Array) -> Dict[str, jax.Array]:
-    """Input [N,3,256,256] in [-1,1] -> {'c1','c2','c3'} feature maps."""
+def backbone_features(params: Params, x: jax.Array,
+                      want_final: bool = False) -> Dict[str, jax.Array]:
+    """Input [N,3,256,256] in [-1,1] -> {'c1','c2','c3'} feature maps.
+
+    With ``want_final`` the dict also carries 'final' — the 512x16x16 map
+    after the last bottleneck, which the ReStyle Backbone/Progressive
+    encoders feed to every style head (restyle_psp_encoders.py:43-50)."""
     il = params["input_layer"]
     x = _conv(x, il["0"]["weight"], padding=1)
     x = _bn(il["1"], x)
@@ -97,6 +102,8 @@ def backbone_features(params: Params, x: jax.Array) -> Dict[str, jax.Array]:
         x = _bottleneck_ir_se(params["body"][str(i)], x, in_c, depth, stride)
         if i in TAPS:
             feats[TAPS[i]] = x
+    if want_final:
+        feats["final"] = x
     return feats
 
 

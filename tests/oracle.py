@@ -61,3 +61,94 @@ def ref_networks():
     from training import networks
 
     return networks
+
+
+def install_torchvision_stub():
+    """Let the reference restyle/fpn encoder modules import.
+
+    They do `from torchvision.models import resnet34` at module top and call
+    `resnet34(pretrained=True)` — torchvision is not in this environment and
+    there is no egress for weights.  The stub provides a hand-built torch
+    ResNet34 (BasicBlock layout + state_dict names identical to
+    torchvision's) with `pretrained` accepted and ignored (random init),
+    which is exactly what a random-weight parity oracle needs: the reference
+    encoder code runs verbatim on top of it, reading only .layer1..layer4.
+    """
+    import sys
+    import types
+
+    import torch
+    from torch import nn
+
+    if "torchvision" in sys.modules:
+        return sys.modules["torchvision"]
+
+    class BasicBlock(nn.Module):
+        def __init__(self, in_c, out_c, stride=1):
+            super().__init__()
+            self.conv1 = nn.Conv2d(in_c, out_c, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(out_c)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv2 = nn.Conv2d(out_c, out_c, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(out_c)
+            self.downsample = None
+            if stride != 1 or in_c != out_c:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(in_c, out_c, 1, stride, bias=False),
+                    nn.BatchNorm2d(out_c))
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet34(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            plan = [(64, 64, 3, 1), (64, 128, 4, 2), (128, 256, 6, 2),
+                    (256, 512, 3, 2)]
+            for li, (in_c, out_c, n, stride) in enumerate(plan, start=1):
+                blocks = [BasicBlock(in_c, out_c, stride)]
+                blocks += [BasicBlock(out_c, out_c) for _ in range(n - 1)]
+                setattr(self, f"layer{li}", nn.Sequential(*blocks))
+
+    def resnet34(pretrained=False, **kw):
+        return ResNet34()
+
+    # restyle_e4e_encoders.py keeps the upstream restyle repo's import
+    # layout (`models.encoders.*`) which the reference tree does not ship —
+    # alias it onto the in-tree copies so the module imports.
+    if "models.encoders.helpers" not in sys.modules:
+        for p in (SIMILAR,):
+            if p not in sys.path:
+                sys.path.insert(0, p)
+        from restyle_encoders.encoders import helpers, map2style
+
+        models_pkg = types.ModuleType("models")
+        enc_pkg = types.ModuleType("models.encoders")
+        models_pkg.encoders = enc_pkg
+        enc_pkg.helpers = helpers
+        enc_pkg.map2style = map2style
+        sys.modules.setdefault("models", models_pkg)
+        sys.modules["models.encoders"] = enc_pkg
+        sys.modules["models.encoders.helpers"] = helpers
+        sys.modules["models.encoders.map2style"] = map2style
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    resnet_mod = types.ModuleType("torchvision.models.resnet")
+    resnet_mod.resnet34 = resnet34
+    models.resnet34 = resnet34
+    models.resnet = resnet_mod
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models.resnet"] = resnet_mod
+    return tv

@@ -235,10 +235,126 @@ def convert_vgg16(src: str, dest: str, lpips_lin: str = None):
     print(f"converted VGG16 -> {dest}")
 
 
+def lpips_alex_to_flat(sd: dict, alexnet_sd: dict = None) -> dict:
+    """lpips-package LPIPS(net='alex') weights -> our flat naming
+    (`gagan_tpu/metrics/alexnet.py`).
+
+    Accepts either a FULL LPIPS module state_dict (net.sliceK.I.* +
+    linI.model.1.weight + scaling_layer.*) or the package's lin-only
+    weight file (lpips/weights/v0.1/alex.pth) plus a torchvision AlexNet
+    state_dict for the tower.
+    """
+    def np_of(v):
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+
+    flat = {}
+    for i in range(5):
+        for key in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if key in sd:
+                flat[f"lin.{i}.weight"] = np_of(sd[key]).reshape(-1)
+                break
+        else:
+            raise KeyError(f"lin{i} weight not found")
+    for k, v in sd.items():
+        if k.startswith("net.slice"):       # net.sliceK.<tv_idx>.<param>
+            _, _, idx, param = k.split(".")
+            flat[f"features.{idx}.{param}"] = np_of(v)
+    if alexnet_sd is not None:
+        for k, v in alexnet_sd.items():
+            if k.startswith("features."):
+                flat[k] = np_of(v)
+    if "scaling_layer.shift" in sd:
+        flat["scaling.shift"] = np_of(sd["scaling_layer.shift"]).reshape(-1)
+        flat["scaling.scale"] = np_of(sd["scaling_layer.scale"]).reshape(-1)
+    missing = [i for i in (0, 3, 6, 8, 10)
+               if f"features.{i}.weight" not in flat]
+    if missing:
+        raise KeyError(f"AlexNet conv weights missing for features "
+                       f"{missing}: pass a torchvision alexnet state_dict")
+    return flat
+
+
+def convert_lpips_alex(src: str, dest: str, alexnet_src: str = None):
+    """src: lpips LPIPS(net='alex') state_dict (or lin-only alex.pth with
+    --alexnet-src torchvision alexnet) -> npz for metrics/alexnet.py."""
+    import torch
+
+    sd = torch.load(src, map_location="cpu", weights_only=False)
+    alex_sd = None
+    if alexnet_src:
+        alex_sd = torch.load(alexnet_src, map_location="cpu",
+                             weights_only=False)
+    np.savez(dest, **lpips_alex_to_flat(sd, alex_sd))
+    print(f"converted LPIPS-alex -> {dest}")
+
+
 def jax_tree_to_np(tree):
     import jax
 
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+# ----------------------------------------------------------------------------
+# ReStyle psp/e4e checkpoints
+
+
+def restyle_from_torch(ckpt: dict, size: int = None):
+    """ReStyle pSp/e4e checkpoint ({state_dict, opts, latent_avg},
+    `SimilarDomains/restyle_encoders/psp.py:76-84` / `e4e_restyle.py:36-49`)
+    -> (enc_flat, dec_flat, latent_avg, meta).
+
+    The encoder sub-dict maps 1:1 onto our
+    `inversion/restyle.py::init_restyle_encoder` tree; the decoder is a
+    rosinality Generator (n_mlp=8) handled by `rosinality_to_flat`.
+    """
+    sd = ckpt["state_dict"]
+    opts = ckpt.get("opts", {}) or {}
+    if hasattr(opts, "__dict__"):          # Namespace
+        opts = dict(vars(opts))
+    size = size or int(opts.get("output_size", 1024))
+
+    def np_of(v):
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+
+    enc_flat = {k[len("encoder."):]: np_of(v) for k, v in sd.items()
+                if k.startswith("encoder.")
+                and "num_batches_tracked" not in k}
+    dec_sd = {k[len("decoder."):]: np_of(v) for k, v in sd.items()
+              if k.startswith("decoder.")}
+    dec_flat = rosinality_to_flat(dec_sd, size=size, n_mlp=8) \
+        if dec_sd else {}
+    latent_avg = ckpt.get("latent_avg")
+    if latent_avg is not None:
+        latent_avg = np_of(latent_avg)
+        n_styles = 2 * int(np.log2(size)) - 2
+        if latent_avg.ndim == 1:           # [512] -> repeat over layers
+            latent_avg = np.tile(latent_avg[None], (n_styles, 1))
+    meta = {
+        "encoder_type": opts.get("encoder_type",
+                                 "ProgressiveBackboneEncoder"),
+        "output_size": size,
+        "input_nc": int(opts.get("input_nc", 6)),
+    }
+    return enc_flat, dec_flat, latent_avg, meta
+
+
+def convert_restyle(src: str, dest: str, size: int = None):
+    """src: restyle .pt checkpoint -> npz {enc/<k>, dec/<k>, latent_avg,
+    __config__}; load back via `gagan_tpu.inversion.restyle.load_net`."""
+    import torch
+
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
+    enc_flat, dec_flat, latent_avg, meta = restyle_from_torch(ckpt, size)
+    arrays = {f"enc/{k}": v for k, v in enc_flat.items()}
+    arrays.update({f"dec/{k}": v for k, v in dec_flat.items()})
+    if latent_avg is not None:
+        arrays["latent_avg"] = latent_avg
+    arrays["__config__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(dest, **arrays)
+    print(f"converted ReStyle {meta['encoder_type']} -> {dest}")
 
 
 # Reference offset-head param name -> our offsets leaf name, per patch_key
@@ -320,14 +436,18 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
     for name in ("rosinality", "nvlabs", "hf_clip", "openai_clip",
-                 "inception", "vgg16"):
+                 "inception", "vgg16", "restyle", "lpips_alex"):
         sp = sub.add_parser(name)
         sp.add_argument("--src", required=True)
         sp.add_argument("--dest", required=True)
         if name == "nvlabs":
             sp.add_argument("--reference-path", required=True)
-        if name == "rosinality":
+        if name in ("rosinality", "restyle"):
             sp.add_argument("--size", type=int, default=None)
+        if name == "lpips_alex":
+            sp.add_argument("--alexnet-src", default=None,
+                            help="torchvision alexnet state_dict (when src "
+                                 "is the lin-only lpips alex.pth)")
             sp.add_argument("--channel-multiplier", type=int, default=2)
         if name == "vgg16":
             sp.add_argument("--lpips-lin", default=None)
@@ -346,6 +466,10 @@ def main():
         convert_inception(args.src, args.dest)
     elif args.cmd == "vgg16":
         convert_vgg16(args.src, args.dest, args.lpips_lin)
+    elif args.cmd == "restyle":
+        convert_restyle(args.src, args.dest, size=args.size)
+    elif args.cmd == "lpips_alex":
+        convert_lpips_alex(args.src, args.dest, args.alexnet_src)
 
 
 if __name__ == "__main__":

@@ -393,6 +393,137 @@ def verify_encoder(sd: dict, which: str, stylegan_size: int = 1024) -> bool:
     return _report(f"{which} encoder W+ codes", _rel_err(got, want), 2e-2)
 
 
+def verify_restyle(ckpt: dict, size: int = 1024) -> bool:
+    """ReStyle pSp/e4e checkpoint ({state_dict, opts, latent_avg}) vs the
+    reference encoder classes on CPU (`restyle_psp_encoders.py` /
+    `restyle_e4e_encoders.py` / `fpn_encoders.py`), through
+    tools/convert_weights.restyle_from_torch.  The decoder sub-dict is a
+    rosinality Generator — its parity is `verify_rosinality`'s job."""
+    import types as _types
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from gagan_tpu.inversion import restyle as restyle_lib
+    from gagan_tpu.utils import checkpoint as ckpt_lib
+    from tests.oracle import install_torchvision_stub
+    from tools.convert_weights import restyle_from_torch
+
+    install_torchvision_stub()
+    sys.path.insert(0, "/root/reference/SimilarDomains")
+    from restyle_encoders.encoders import (fpn_encoders,
+                                           restyle_psp_encoders)
+
+    enc_flat, _, latent_avg, meta = restyle_from_torch(ckpt, size)
+    enc_type = meta["encoder_type"]
+    n_styles = 2 * int(np.log2(meta["output_size"])) - 2
+    opts = _types.SimpleNamespace(input_nc=meta["input_nc"])
+    builders = {
+        "BackboneEncoder": lambda: restyle_psp_encoders.BackboneEncoder(
+            50, "ir_se", n_styles, opts),
+        "ResNetBackboneEncoder":
+            lambda: restyle_psp_encoders.ResNetBackboneEncoder(
+                n_styles, opts),
+        "GradualStyleEncoder": lambda: fpn_encoders.GradualStyleEncoder(
+            50, "ir_se", n_styles, opts),
+        "ResNetGradualStyleEncoder":
+            lambda: fpn_encoders.ResNetGradualStyleEncoder(n_styles, opts),
+    }
+    if "Progressive" in enc_type:
+        # importable thanks to install_torchvision_stub's models.encoders
+        # aliasing (the reference file keeps the upstream repo's layout)
+        from restyle_encoders.encoders import restyle_e4e_encoders
+
+        builders["ProgressiveBackboneEncoder"] = \
+            lambda: restyle_e4e_encoders.ProgressiveBackboneEncoder(
+                50, "ir_se", n_styles, opts)
+        builders["ResNetProgressiveBackboneEncoder"] = \
+            lambda: restyle_e4e_encoders.ResNetProgressiveBackboneEncoder(
+                n_styles, opts)
+    net = builders[enc_type]().eval()
+    net.load_state_dict({k: torch.as_tensor(np.asarray(v))
+                         for k, v in enc_flat.items()}, strict=False)
+
+    cfg = restyle_lib.RestyleEncoderConfig(
+        encoder_type=enc_type, stylegan_size=meta["output_size"],
+        input_nc=meta["input_nc"])
+    params = ckpt_lib.flat_to_tree(enc_flat)
+    x = np.random.RandomState(13).randn(
+        2, meta["input_nc"], 256, 256).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x)).numpy()
+    got = np.asarray(restyle_lib.restyle_encode(cfg, params,
+                                                jnp.asarray(x)))
+    ok = _report(f"restyle {enc_type} W+ codes", _rel_err(got, want), 2e-2)
+    if latent_avg is not None:
+        ok &= _report("restyle latent_avg shape",
+                      0.0 if latent_avg.shape == (n_styles, 512) else 1.0,
+                      0.5)
+    return ok
+
+
+def verify_lpips_alex(sd: dict) -> bool:
+    """LPIPS(net='alex') state_dict vs a torch replication of the lpips
+    package forward (lpips/lpips.py; reference use: GA/evaluation.py:13)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from gagan_tpu.metrics import alexnet
+    from gagan_tpu.utils import checkpoint as ckpt_lib
+    from tools.convert_weights import lpips_alex_to_flat
+
+    flat = lpips_alex_to_flat(sd)
+    params = ckpt_lib.flat_to_tree(flat)
+
+    def np_of(v):
+        return np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+
+    shift = torch.as_tensor(
+        flat.get("scaling.shift",
+                 np.array([-0.030, -0.088, -0.188]))).view(1, 3, 1, 1)
+    scale = torch.as_tensor(
+        flat.get("scaling.scale",
+                 np.array([0.458, 0.448, 0.450]))).view(1, 3, 1, 1)
+
+    def torch_taps(x):
+        taps = []
+        for idx in (0, 3, 6, 8, 10):
+            _, _, _, stride, pad = alexnet.ALEX_CONVS[idx]
+            w = torch.as_tensor(flat[f"features.{idx}.weight"])
+            b = torch.as_tensor(flat[f"features.{idx}.bias"])
+            x = torch.nn.functional.relu(
+                torch.nn.functional.conv2d(x, w, b, stride, pad))
+            taps.append(x)
+            if idx in (0, 3):
+                x = torch.nn.functional.max_pool2d(x, 3, 2)
+        return taps
+
+    def normalize(t):
+        return t / (torch.sqrt((t ** 2).sum(1, keepdim=True)) + 1e-10)
+
+    rng = np.random.RandomState(14)
+    a = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    b = rng.uniform(-1, 1, (2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        ta = torch_taps((torch.from_numpy(a) - shift.float())
+                        / scale.float())
+        tb = torch_taps((torch.from_numpy(b) - shift.float())
+                        / scale.float())
+        want = sum(
+            (torch.nn.functional.conv2d(
+                (normalize(x) - normalize(y)) ** 2,
+                torch.as_tensor(flat[f"lin.{i}.weight"])
+                .view(1, -1, 1, 1).float())
+             .mean(dim=(2, 3)).squeeze(1))
+            for i, (x, y) in enumerate(zip(ta, tb))).numpy()
+    got = np.asarray(alexnet.lpips_distance(params, jnp.asarray(a),
+                                            jnp.asarray(b)))
+    return _report("lpips-alex distances", _rel_err(got, want), 1e-4)
+
+
 def verify_adaptation(path: str) -> bool:
     """Portable adaptation checkpoint: our npz schema (roundtrip + hooks
     apply) or the reference torch schema ({model_type, patch_key,
@@ -563,6 +694,37 @@ def self_test() -> bool:
                     "sg2_params": {"img_size": 64}}, f.name)
         ok &= verify_adaptation(f.name)
     os.unlink(f.name)
+
+    # restyle iterative-encoder fixture (ResNet34 backbone via the
+    # torchvision stub; IR variants share verify_encoder's backbone).
+    from tests.oracle import install_torchvision_stub
+
+    install_torchvision_stub()
+    from restyle_encoders.encoders import restyle_psp_encoders
+    torch.manual_seed(9)
+    rnet = restyle_psp_encoders.ResNetBackboneEncoder(
+        n_styles=14, opts=_types.SimpleNamespace(input_nc=6))
+    ok &= verify_restyle({
+        "state_dict": {f"encoder.{k}": v
+                       for k, v in rnet.state_dict().items()},
+        "opts": {"encoder_type": "ResNetBackboneEncoder",
+                 "output_size": 256, "input_nc": 6},
+        "latent_avg": torch.randn(512),
+    }, size=256)
+
+    # lpips-alex fixture: hand-built tower in the lpips state_dict layout.
+    torch.manual_seed(10)
+    alex_sd = {}
+    slice_of = {0: 1, 3: 2, 6: 3, 8: 4, 10: 5}
+    from gagan_tpu.metrics.alexnet import ALEX_CONVS, LPIPS_CHANNELS
+    for idx, (in_c, out_c, k, _, _) in ALEX_CONVS.items():
+        alex_sd[f"net.slice{slice_of[idx]}.{idx}.weight"] = \
+            torch.randn(out_c, in_c, k, k) * 0.05
+        alex_sd[f"net.slice{slice_of[idx]}.{idx}.bias"] = \
+            torch.zeros(out_c)
+    for i, c in enumerate(LPIPS_CHANNELS):
+        alex_sd[f"lin{i}.model.1.weight"] = torch.rand(1, c, 1, 1) * 0.2
+    ok &= verify_lpips_alex(alex_sd)
     return ok
 
 
@@ -593,7 +755,8 @@ def main():
     ap.add_argument("ckpt", nargs="?", help="checkpoint file")
     ap.add_argument("--kind", choices=["rosinality", "nvlabs", "clip-hf",
                                        "inception", "vgg16", "swin-hf",
-                                       "mtcnn", "psp", "e4e", "adaptation"])
+                                       "mtcnn", "psp", "e4e", "adaptation",
+                                       "restyle", "lpips-alex"])
     ap.add_argument("--size", type=int, default=1024,
                     help="rosinality generator / encoder stylegan size")
     ap.add_argument("--self-test", action="store_true")
@@ -642,6 +805,17 @@ def main():
     elif args.kind in ("psp", "e4e"):
         ok = verify_encoder(_load_torch_sd(args.ckpt), args.kind,
                             stylegan_size=args.size)
+    elif args.kind == "restyle":
+        import torch
+
+        ok = verify_restyle(
+            torch.load(args.ckpt, map_location="cpu", weights_only=False),
+            size=args.size)
+    elif args.kind == "lpips-alex":
+        import torch
+
+        ok = verify_lpips_alex(
+            torch.load(args.ckpt, map_location="cpu", weights_only=False))
     elif args.kind == "adaptation":
         ok = verify_adaptation(args.ckpt)
     elif args.kind == "inception":
