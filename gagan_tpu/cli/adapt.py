@@ -178,7 +178,15 @@ def main(ctx, config_path, network, outdir):
 
         e_cfg = enc_lib.EncoderConfig(stylegan_size=g_cfg.img_resolution)
         e4e_path = cfg_dict.get("inversion", {}).get("e4e_checkpoint", "")
-        if e4e_path and os.path.isfile(e4e_path):
+        if e4e_path:
+            # Configured but missing is a hard error: silently training
+            # with a random encoder makes difa_w semantically meaningless
+            # (a typo'd path would otherwise go unnoticed).
+            if not os.path.isfile(e4e_path):
+                raise click.ClickException(
+                    f"inversion.e4e_checkpoint={e4e_path!r} does not exist "
+                    f"(difa_w needs the converted e4e npz; drop the key to "
+                    f"run with tagged random weights)")
             data = np.load(e4e_path, allow_pickle=False)
             e_params = ckpt_lib.flat_to_tree({k: data[k] for k in data.files})
         else:

@@ -95,6 +95,7 @@ class AdaptationTrainer:
         image_latent_fn: Optional[Callable] = None,  # custom img->latents
         latent_encoder: Optional[
             Tuple[enc_lib.EncoderConfig, Params]] = None,  # e4e for difa_w
+        lpips_params: Optional[Params] = None,  # VGG16-LPIPS for lpips_rec
     ):
         self.cfg = cfg
         self.g_cfg = g_cfg
@@ -105,6 +106,17 @@ class AdaptationTrainer:
         # tree would bake ~43M literals into the step's HLO.
         self._latent_cfg = latent_encoder[0] if latent_encoder else None
         self._latent_params = latent_encoder[1] if latent_encoder else None
+        # lpips_rec (the MindTheGap rec stack, reference core/loss.py:285-294
+        # + im2im_mtg.yaml loss_funcs) needs a VGG16-LPIPS tower; random
+        # weights keep the machinery runnable when none are supplied (same
+        # policy as the CLIP towers).
+        self._lpips_params = None
+        if "lpips_rec" in cfg.loss.loss_funcs:
+            if lpips_params is None:
+                from gagan_tpu.metrics import vgg16 as vgg16_lib
+
+                lpips_params = vgg16_lib.init_vgg16(jax.random.PRNGKey(11))
+            self._lpips_params = lpips_params
         self.current_step = 0
 
         self.spec = offs_lib.OffsetsSpec.from_string(cfg.parametrization)
@@ -138,8 +150,18 @@ class AdaptationTrainer:
 
         self.scc_state = None
         if cfg.loss.scc is not None:
+            # The kept W+ prefix width comes from the ENCODER's style width
+            # when the e4e latent path is active — e4e always emits 512-wide
+            # styles (the reference SCCloss hardcodes 7*512,
+            # trainers.py:1159), so with w_dim != 512 deriving from w_dim
+            # would silently cross W+ layer boundaries.
+            style_width = 512 if self._latent_cfg is not None else g_cfg.w_dim
+            if self._latent_cfg is not None and g_cfg.w_dim != 512:
+                raise ValueError(
+                    f"difa_w SCC: e4e styles are 512-wide but g_cfg.w_dim="
+                    f"{g_cfg.w_dim}; the kept-prefix slice would not align")
             self.scc_state = al.init_scc_state(
-                cfg.loss.scc.num_keep_first * g_cfg.w_dim,
+                cfg.loss.scc.num_keep_first * style_width,
                 window=cfg.loss.scc.sliding_window_size)
 
         # Frozen towers travel as an explicit argument so jit does not bake
@@ -147,6 +169,7 @@ class AdaptationTrainer:
         self._frozen = {
             "g": self.g_params,
             "clip": {n: p for n, (c, p) in self.clip_encoders.items()},
+            "lpips": self._lpips_params,
             "emb": self.domain_embeddings,
             "style_latents": self.style_latents,
             "style_image": (self.style_image if self.style_image is not None
@@ -357,6 +380,20 @@ class AdaptationTrainer:
                         clip_data[name]["trg_trainable_emb"] = inv_b_emb
                         clip_data[name]["trg_emb"] = emb_all[name]["trg"]
 
+            if self._lpips_params is not None and rec_data:
+                # lpips_rec consumes precomputed LPIPS embeddings of the
+                # 256² pair (reference core/loss.py:285-294 runs the
+                # vendored LPIPS net on exactly these tensors); grads flow
+                # through the inverted-B side only (the style image is a
+                # constant).
+                from gagan_tpu.metrics import vgg16 as vgg16_lib
+
+                lp = frozen["lpips"]
+                rec_data["style_inverted_B_lpips"] = vgg16_lib.vgg16_lpips(
+                    lp, (rec_data["style_inverted_B_256x256"] + 1) * 127.5)
+                rec_data["style_image_lpips"] = vgg16_lib.vgg16_lpips(
+                    lp, (rec_data["style_image_256x256"] + 1) * 127.5)
+
             inv_data = {}
             if cfg.loss.scc is not None and (
                     self._latent_cfg is not None
@@ -365,6 +402,12 @@ class AdaptationTrainer:
                     # Reference difa_w (trainers.py:992-1001): resize 256,
                     # e4e -> flat W+ [B, num_ws*w_dim]; grads flow through
                     # the trainable image's encode (no no_grad there).
+                    # INTENTIONAL: the reference pSp forward adds latent_avg
+                    # (start_from_latent_avg) — omitted here because the SCC
+                    # loss consumes only trg-src DIFFERENCES of these
+                    # latents (delta_w and the l1 both cancel the constant);
+                    # inv_data latents are NOT reference-W+-absolute and
+                    # must not be logged/consumed as such (ADVICE r4 #3).
                     lcfg = self._latent_cfg
                     eparams = frozen["latent_encoder"]
 

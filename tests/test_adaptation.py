@@ -231,6 +231,86 @@ def test_im2im_jojo_trains(tiny_setup):
     assert l < l0  # reconstruction improves on a pure rec loss
 
 
+def test_im2im_single_mtg_trains(tiny_setup):
+    """End-to-end MindTheGap trainer (reference trainers.py:566-793) with
+    the reference im2im_mtg.yaml loss stack — direction + clip_within +
+    clip_ref + l2_rec + lpips_rec (coefs 1.0/0.5/30/10/10) — exercising the
+    rec-loss branch (train/adaptation.py rec_data for im2im_single) that no
+    other trainer test touches."""
+    g_cfg, g_params, encoders = tiny_setup
+    rng = np.random.RandomState(3)
+    style_image = rng.randint(0, 255, (3, 32, 32), np.uint8)
+    style_latents = jnp.asarray(
+        rng.randn(1, g_cfg.num_ws, 32).astype(np.float32))
+    emb = {"ViT-B/32": {
+        "src": jnp.asarray(rng.randn(1, 32).astype(np.float32)),
+        "trg": jnp.asarray(rng.randn(1, 32).astype(np.float32)),
+    }}
+    cfg = ad.AdaptationConfig(
+        trainer="im2im_single", batch_size=2, iter_num=6, lr=0.05,
+        parametrization="additive",
+        loss=al.DirectLossConfig(
+            loss_funcs=("direction", "clip_within", "clip_ref",
+                        "l2_rec_resized", "lpips_rec"),
+            loss_coefs=(1.0, 0.5, 30.0, 10.0, 10.0)))
+    tr = ad.AdaptationTrainer(cfg, g_cfg, g_params, encoders,
+                              jax.random.PRNGKey(6), domain_embeddings=emb,
+                              style_image=style_image,
+                              style_latents=style_latents)
+    l0 = tr.train_step()
+    for key in ("direction_ViT-B-32", "clip_within_ViT-B-32",
+                "clip_ref_ViT-B-32", "l2_rec_resized", "lpips_rec"):
+        assert key in l0, sorted(l0)
+    assert np.isfinite(l0["total"])
+
+    # Loss-value parity on the fixed first step: l2_rec_resized must equal
+    # 10 * MSE of the 256-resized (inverted-B, style) pair computed from
+    # the trainer's own state (trainers.py:700-720 rec semantics).
+    from gagan_tpu.params import offsets as offs_lib
+
+    hooks = offs_lib.make_hooks(tr.spec, jax.tree.map(jnp.zeros_like,
+                                                      tr.offsets))
+    ws = jnp.broadcast_to(style_latents, (1,) + style_latents.shape[1:])
+    inverted = sg2.synthesis_apply(g_cfg.synthesis,
+                                   g_params["synthesis"], ws,
+                                   noise_mode="const", hooks=hooks)
+    style_f = jnp.asarray(style_image)[None].astype(jnp.float32) / 127.5 - 1
+    want = 10.0 * float(jnp.mean(jnp.square(
+        jax.image.resize(inverted, inverted.shape[:2] + (256, 256), "cubic")
+        - jax.image.resize(style_f, style_f.shape[:2] + (256, 256),
+                           "cubic"))))
+    np.testing.assert_allclose(float(l0["l2_rec_resized"]), want,
+                               rtol=2e-3, atol=1e-4)
+
+    losses = l0
+    for _ in range(5):
+        losses = tr.train_step()
+    assert np.isfinite(losses["total"])
+    # Offsets actually trained.
+    assert max(float(jnp.max(jnp.abs(x)))
+               for x in jax.tree.leaves(tr.offsets)) > 0
+    # Descent on the rec stack alone (the full reference mix includes
+    # clip_ref at coef 30 whose RANDOM-tower gradients are directionless
+    # noise that can swamp the rec term): rec-only MTG must reconstruct.
+    cfg_rec = ad.AdaptationConfig(
+        trainer="im2im_single", batch_size=2, iter_num=6, lr=0.05,
+        parametrization="additive",
+        loss=al.DirectLossConfig(
+            loss_funcs=("l2_rec_resized", "lpips_rec"),
+            loss_coefs=(10.0, 10.0)))
+    tr_rec = ad.AdaptationTrainer(cfg_rec, g_cfg, g_params, encoders,
+                                  jax.random.PRNGKey(7),
+                                  domain_embeddings=emb,
+                                  style_image=style_image,
+                                  style_latents=style_latents)
+    r0 = tr_rec.train_step()
+    assert "lpips_rec" in r0
+    for _ in range(5):
+        r = tr_rec.train_step()
+    assert float(r["l2_rec_resized"] + r["lpips_rec"]) < \
+        float(r0["l2_rec_resized"] + r0["lpips_rec"])
+
+
 def test_im2im_difa_tokens(tiny_setup):
     g_cfg, g_params, encoders = tiny_setup
     rng = np.random.RandomState(2)
