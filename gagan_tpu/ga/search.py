@@ -49,6 +49,21 @@ def direction_to_hooks(syn_cfg: sg2.SynthesisConfig, direction: jax.Array):
     return hooks
 
 
+def batched_direction_hooks(syn_cfg: sg2.SynthesisConfig,
+                            directions: jax.Array):
+    """Per-SAMPLE additive StyleSpace hooks: ``directions`` [B, D] applies
+    row b to sample b — the whole population rides ONE generator batch."""
+    names = syn_cfg.layer_names()
+    dims = style_dims(syn_cfg)
+    hooks = {}
+    start = 0
+    for name, d in zip(names, dims):
+        seg = jax.lax.dynamic_slice_in_dim(directions, start, d, axis=1)
+        hooks[name] = {"style": (lambda s, o=seg: s + o.astype(s.dtype))}
+        start += d
+    return hooks
+
+
 @dataclasses.dataclass(frozen=True)
 class GASearchConfig:
     population: int = 32
@@ -58,6 +73,12 @@ class GASearchConfig:
     mutation_rate: float = 0.1
     init_sigma: float = 1.0
     truncation_psi: float = 0.7
+    # 'scan': one candidate per generator pass (lax.map — small batches,
+    # latency-bound on TPU).  'batched': the population rides one
+    # [population * batch_per_candidate] generator batch via per-sample
+    # style hooks — the MXU-shaped form (measured in
+    # tools/bench_ga_search.py); numerics identical per-sample.
+    eval_mode: str = "scan"
 
 
 def evolve_directions(
@@ -89,9 +110,26 @@ def evolve_directions(
         return fitness_fn(img_u8)
 
     @jax.jit
-    def eval_population(population, z, noise_key):
+    def eval_population_scan(population, z, noise_key):
         return jax.lax.map(
             lambda d: eval_candidate(d, z, noise_key), population)
+
+    @jax.jit
+    def eval_population_batched(population, z, noise_key):
+        b = cfg.batch_per_candidate
+        pop = population.shape[0]
+        dirs_rep = jnp.repeat(population, b, axis=0)      # candidate-major
+        z_rep = jnp.tile(z, (pop, 1))
+        hooks = batched_direction_hooks(g_cfg.synthesis, dirs_rep)
+        img = sg2.generator_apply(
+            g_cfg, g_params, z_rep, truncation_psi=cfg.truncation_psi,
+            noise_mode="const", hooks=hooks)
+        img_u8 = jnp.clip(img * 127.5 + 128, 0, 255)
+        imgs = img_u8.reshape((pop, b) + img_u8.shape[1:])
+        return jax.vmap(fitness_fn)(imgs)
+
+    eval_population = (eval_population_batched if cfg.eval_mode == "batched"
+                       else eval_population_scan)
 
     @jax.jit
     def next_generation(population, scores, key):

@@ -108,6 +108,49 @@ def test_evolution_sharded_over_mesh(tiny_gd):
     assert np.isfinite(history).all()
 
 
+def test_evolution_mesh_matches_single_device(tiny_gd):
+    """Sharding the population axis over the 8-device mesh is a pure layout
+    choice: selection happens on replicated scores, so the evolved best
+    direction and fitness history must equal the single-device run
+    (BASELINE config 5 determinism; VERDICT r4 #6)."""
+    from gagan_tpu.parallel import create_mesh
+
+    g_cfg, g_params, _, _ = tiny_gd
+
+    def fitness(img_u8):
+        return -jnp.mean(jnp.square(img_u8.astype(jnp.float32) / 255 - 0.5))
+
+    cfg = GASearchConfig(population=16, generations=3, elite=2,
+                         batch_per_candidate=2)
+    best_1, hist_1 = evolve_directions(
+        jax.random.PRNGKey(0), g_cfg, g_params, fitness, cfg)
+    best_8, hist_8 = evolve_directions(
+        jax.random.PRNGKey(0), g_cfg, g_params, fitness, cfg,
+        mesh=create_mesh(8))
+    np.testing.assert_allclose(hist_8, hist_1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(best_8, best_1, rtol=1e-5, atol=1e-5)
+
+
+def test_evolution_batched_matches_scan(tiny_gd):
+    """eval_mode='batched' (population in one generator batch via
+    per-sample style hooks) scores each candidate identically to the
+    per-candidate scan, so the evolution trajectory matches."""
+    g_cfg, g_params, _, _ = tiny_gd
+
+    def fitness(img_u8):
+        return jnp.mean(img_u8.astype(jnp.float32))
+
+    base = dict(population=8, generations=2, elite=2, batch_per_candidate=2)
+    best_s, hist_s = evolve_directions(
+        jax.random.PRNGKey(1), g_cfg, g_params, fitness,
+        GASearchConfig(eval_mode="scan", **base))
+    best_b, hist_b = evolve_directions(
+        jax.random.PRNGKey(1), g_cfg, g_params, fitness,
+        GASearchConfig(eval_mode="batched", **base))
+    np.testing.assert_allclose(hist_b, hist_s, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(best_b, best_s, rtol=1e-4, atol=1e-4)
+
+
 def test_genetic_refinement_replaces_only_masked(tiny_gd):
     g_cfg, g_params, d_cfg, d_params = tiny_gd
     key = jax.random.PRNGKey(3)
