@@ -11,6 +11,12 @@ BENCH_r01); the extra fields carry the full BASELINE.md:59 target surface
   (BASE_README.md:292) / 2.03 A100-vs-V100 training speedup (NVIDIA A100
   whitepaper-era measured StyleGAN2 ratio) ~= 77.8 sec/kimg on one A100.
   vs_baseline = 77.8 / measured (>1 is faster than A100).
+* adapt10_sec_per_kimg / adapt10_vs_baseline — BASELINE config 4: the
+  10-shot Affine+ few-shot adaptation protocol (offsets-only G via the
+  affine/weights-offset trainable parts + out_in_additive offsets, full D,
+  ADA, 1024², glrate 0.02 — DissimilarDomains/README.md:190-195 run 05),
+  same A100 anchor derivation as training (the reference runs the full
+  training loop for this protocol; see BASELINE_A100_ADAPT10_SEC_PER_KIMG).
 * adapt_steps_per_sec / adapt_vs_baseline — one-shot CLIP adaptation step
   (DiFa-style: frozen G fwd + trainable G fwd/bwd + ViT-B/32+B/16 encodes,
   batch 4 at 1024², the im2im_difa.yaml:15-57 protocol shapes).  A100
@@ -264,22 +270,30 @@ def _run_train_ladder(batch: int = 32, **build_overrides):
                 return float(state.pl_mean)
 
             for name in remaining:
-                for attempt in (0, 1):
+                for attempt in (0, 1, 2):
                     try:
                         with watchdog(1800):
                             run(name)          # compile
                             per_variant[name] = _timed(
                                 lambda: run(name), n_iters=4)
                         break
-                    except TimeoutError as e:
-                        # The remote compile service stalls intermittently;
-                        # the executable may now sit in the persistent
-                        # cache, so one in-rung retry is cheap.
+                    except (TimeoutError, Exception) as e:
+                        # Transient tunnel faults (watchdog timeouts, HTTP
+                        # 5xx / truncated responses from the remote compile
+                        # service) retry in-rung — the executable may now
+                        # sit in the persistent cache, so a retry is cheap.
+                        # Anything else (e.g. RESOURCE_EXHAUSTED) escalates
+                        # to the next memory rung immediately.
+                        transient = isinstance(e, TimeoutError) or any(
+                            s in str(e) for s in
+                            ("remote_compile", "HTTP 5", "DEADLINE",
+                             "UNAVAILABLE", "body closed"))
                         last_err = e
-                        print(f"# train[{note}] variant {name} timed out "
-                              f"(attempt {attempt + 1})", flush=True)
-                        if attempt == 1:
+                        if not transient or attempt == 2:
                             raise
+                        print(f"# train[{note}] variant {name} transient "
+                              f"failure (attempt {attempt + 1}): "
+                              f"{_short_err(e, 160)}", flush=True)
                 print(f"# train[{note}] variant {name}: "
                       f"{per_variant[name]:.3f} s/step", flush=True)
             break

@@ -246,7 +246,7 @@ def build_torgb_transposed(w: jax.Array) -> jax.Array:
     """Packed-cell torgb 1x1 composed with depth-to-space, as one kernel.
 
     w: [img_ch, C] (the styled torgb weight) -> K [img_ch, 4C, 2, 2] such
-    that conv_general_dilated(h, K, lhs_dilation=2, padding (1,0)x2) ==
+    that conv_general_dilated(h, K, lhs_dilation=2, padding (1,1)x2) ==
     unpack(conv_packed(h, block_diag_cells(w))) — i.e. the [N,3,res,res]
     image DIRECTLY from the packed feature map, with no unpack relayout op
     anywhere (and none in the VJP either: the transpose of an lhs_dilated

@@ -76,3 +76,17 @@ def test_multiprocess_dryrun():
         capture_output=True, text=True, timeout=900, cwd=REPO)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "multiprocess dryrun ok" in out.stdout
+
+
+@pytest.mark.slow
+def test_multiprocess_resume_cycle():
+    """Distributed failure recovery (§5.3/§5.4): rank 0 snapshots the FULL
+    train state mid-run, both ranks restart from it, and the continuation is
+    bitwise-identical to an uninterrupted run on every rank."""
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "dryrun_multiprocess.py"),
+         "--resume-cycle"],
+        capture_output=True, text=True, timeout=900, cwd=REPO)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "multiprocess resume dryrun ok" in out.stdout

@@ -55,7 +55,19 @@ def _free_port() -> int:
 
 
 def child(process_id: int, num_processes: int, coordinator: str,
-          out_dir: str) -> None:
+          out_dir: str, phase: str = "basic") -> None:
+    """One rank.  ``phase``:
+
+    * basic  — 2 steps + the stats/metric/snapshot/consistency checks;
+    * full   — 4 uninterrupted steps (the resume cycle's golden run);
+    * pre    — steps 0-1, then rank 0 serializes the FULL TrainState
+               (params + BOTH optimizer states + pl_mean/ada_p/cur_nimg);
+    * resume — restore the full state from rank 0's mid-run snapshot on
+               EVERY rank (shared-storage semantics), run steps 2-3.
+
+    full vs pre+resume continuation must agree bitwise — the §5.3/§5.4
+    failure-recovery leg under distribution (VERDICT r4 #7).
+    """
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -129,14 +141,50 @@ def child(process_id: int, num_processes: int, coordinator: str,
 
     step = jax.jit(ts.make_fused_step(cfg, g_cfg, d_cfg, g_tx, d_tx),
                    donate_argnums=(0,))
-    for i in range(2):
+
+    state_file = os.path.join(out_dir, "full_state.npz")
+    if phase == "resume":
+        # Every rank restores rank 0's mid-run snapshot (in deployment the
+        # snapshot lives on shared storage).  The fresh seeded state above
+        # provides the treedef; the leaves come from disk.
+        leaves, treedef = jax.tree_util.tree_flatten(jax.device_get(state))
+        with np.load(state_file) as zf:
+            loaded = [zf[f"leaf_{i}"] for i in range(len(leaves))]
+        state = jax.tree_util.tree_unflatten(treedef, loaded)
+        state = jax.tree.map(lambda x: jax.device_put(x, repl), state)
+        start_step, n_steps = 2, 2
+    elif phase == "full":
+        start_step, n_steps = 0, 4
+    else:                               # basic / pre
+        start_step, n_steps = 0, 2
+
+    for i in range(start_step, start_step + n_steps):
         state, metrics = step(state, real, None, z, None,
                               jax.random.PRNGKey(4 + i))
     jax.block_until_ready(state)
-    assert int(state.cur_nimg) == 2 * batch
+    assert int(state.cur_nimg) == (start_step + n_steps) * batch
     metrics_host = {k: float(np.asarray(v)) for k, v in metrics.items()}
     for k, v in metrics_host.items():
         assert np.isfinite(v), f"non-finite metric {k}"
+
+    # Bitwise digest of the COMPLETE state (params, g_ema, both optimizer
+    # states, pl_mean/ada_p/cur_nimg) — what full-vs-resume compares.
+    state_h = hashlib.sha256()
+    for leaf in jax.tree.leaves(jax.device_get(state)):
+        state_h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+
+    if phase == "pre" and jax.process_index() == 0:
+        host_leaves = jax.tree.leaves(jax.device_get(state))
+        np.savez(state_file, **{f"leaf_{i}": np.asarray(l)
+                                for i, l in enumerate(host_leaves)})
+    if phase in ("full", "pre", "resume"):
+        with open(os.path.join(out_dir, f"rank{process_id}_{phase}.json"),
+                  "w") as f:
+            json.dump({"process_id": process_id, "phase": phase,
+                       "state_hash": state_h.hexdigest(),
+                       "cur_nimg": int(state.cur_nimg)}, f)
+        jax.distributed.shutdown()
+        return
 
     # --- cross-process training-stats reduction -------------------------
     # Collector moments [num, sum, sumsq] of a batch-sharded quantity,
@@ -209,52 +257,90 @@ def child(process_id: int, num_processes: int, coordinator: str,
 # --------------------------------------------------------------- parent ----
 
 
-def parent(timeout: float = 900.0) -> None:
-    port = _free_port()
-    with tempfile.TemporaryDirectory() as out_dir:
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (
-            f"--xla_force_host_platform_device_count={LOCAL_DEVICES} "
-            + env.get("XLA_FLAGS", "").replace(
-                "--xla_force_host_platform_device_count=8", ""))
-        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        # Share the host-keyed persistent compile cache across children and
-        # runs (both ranks lower the identical module, so the cache is
-        # process-safe here and saves a full fused-step compile per rank).
-        if "JAX_COMPILATION_CACHE_DIR" not in env:
-            try:
-                with open("/proc/cpuinfo") as f:
-                    flags = next(
-                        (ln for ln in f if ln.startswith("flags")), "")
-            except OSError:
-                flags = ""
-            env["JAX_COMPILATION_CACHE_DIR"] = (
-                "/tmp/jax_cache_"
-                + hashlib.md5(flags.encode()).hexdigest()[:10])
-            env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
-        procs = [
-            subprocess.Popen(
-                [sys.executable, os.path.abspath(__file__), "--child",
-                 "--process-id", str(i), "--num-processes",
-                 str(NUM_PROCESSES), "--coordinator", f"127.0.0.1:{port}",
-                 "--out-dir", out_dir],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-            for i in range(NUM_PROCESSES)
-        ]
-        outs = []
+def _child_env() -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={LOCAL_DEVICES} "
+        + env.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", ""))
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Share the host-keyed persistent compile cache across children and
+    # runs (both ranks lower the identical module, so the cache is
+    # process-safe here and saves a full fused-step compile per rank).
+    if "JAX_COMPILATION_CACHE_DIR" not in env:
         try:
-            for p in procs:
-                out, _ = p.communicate(timeout=timeout)
-                outs.append(out.decode(errors="replace"))
-        finally:
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
-        for p, out in zip(procs, outs):
-            assert p.returncode == 0, (
-                f"rank {procs.index(p)} failed (rc={p.returncode}):\n{out}")
+            with open("/proc/cpuinfo") as f:
+                flags = next(
+                    (ln for ln in f if ln.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        env["JAX_COMPILATION_CACHE_DIR"] = (
+            "/tmp/jax_cache_"
+            + hashlib.md5(flags.encode()).hexdigest()[:10])
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
+    return env
 
+
+def _run_ranks(out_dir: str, env: dict, timeout: float,
+               phase: str = "basic") -> None:
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child",
+             "--process-id", str(i), "--num-processes",
+             str(NUM_PROCESSES), "--coordinator", f"127.0.0.1:{port}",
+             "--out-dir", out_dir, "--phase", phase],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(NUM_PROCESSES)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, (
+            f"rank {procs.index(p)} [{phase}] failed "
+            f"(rc={p.returncode}):\n{out}")
+
+
+def parent_resume_cycle(timeout: float = 900.0) -> None:
+    """full (4 steps) vs pre (2 steps + full-state snapshot on rank 0) +
+    resume (restore on both ranks, steps 2-3): the continuation must match
+    the uninterrupted run bitwise on every rank."""
+    env = _child_env()
+    with tempfile.TemporaryDirectory() as out_dir:
+        _run_ranks(out_dir, env, timeout, phase="full")
+        _run_ranks(out_dir, env, timeout, phase="pre")
+        assert os.path.exists(os.path.join(out_dir, "full_state.npz"))
+        _run_ranks(out_dir, env, timeout, phase="resume")
+
+        def load(phase):
+            out = []
+            for i in range(NUM_PROCESSES):
+                with open(os.path.join(out_dir,
+                                       f"rank{i}_{phase}.json")) as f:
+                    out.append(json.load(f))
+            return out
+
+        full, resume = load("full"), load("resume")
+        assert all(r["cur_nimg"] == full[0]["cur_nimg"] for r in resume)
+        # Bitwise-identical continuation, and both ranks agree.
+        assert (resume[0]["state_hash"] == resume[1]["state_hash"]
+                == full[0]["state_hash"] == full[1]["state_hash"]), (
+            full, resume)
+    print("multiprocess resume dryrun ok")
+
+
+def parent(timeout: float = 900.0) -> None:
+    env = _child_env()
+    with tempfile.TemporaryDirectory() as out_dir:
+        _run_ranks(out_dir, env, timeout, phase="basic")
         reports = []
         for i in range(NUM_PROCESSES):
             with open(os.path.join(out_dir, f"rank{i}.json")) as f:
@@ -280,12 +366,19 @@ def main():
     ap.add_argument("--num-processes", type=int, default=NUM_PROCESSES)
     ap.add_argument("--coordinator", default="")
     ap.add_argument("--out-dir", default="")
+    ap.add_argument("--phase", default="basic",
+                    choices=["basic", "full", "pre", "resume"])
+    ap.add_argument("--resume-cycle", action="store_true",
+                    help="run the snapshot/restore bitwise-continuation "
+                         "protocol instead of the basic dryrun")
     ap.add_argument("--timeout", type=float, default=900.0)
     args = ap.parse_args()
     if args.child:
         sys.path.insert(0, REPO)
         child(args.process_id, args.num_processes, args.coordinator,
-              args.out_dir)
+              args.out_dir, phase=args.phase)
+    elif args.resume_cycle:
+        parent_resume_cycle(timeout=args.timeout)
     else:
         parent(timeout=args.timeout)
 
