@@ -215,13 +215,15 @@ def _load_bench_train_module():
     return bt
 
 
-# Shipping config first; each later rung trades speed for memory headroom.
-# Rung 2 is the round-3-proven configuration (packed_fused_torgb landed in
-# round 4 and its step OOMed on the driver's chip — BENCH_r04 lost the
-# training number to exactly that); rung 3 halves the live batch; rung 4
-# fully remats.  A slower measured number always beats a null.
+# Most-reliable-first; each later rung trades speed for memory headroom.
+# Rung 1 is the round-3-proven configuration (52.4 s/kimg official r3):
+# the packed_fused_torgb variant that landed in round 4 has failed the
+# remote compile service on BOTH driver-condition runs since (r4:
+# RESOURCE_EXHAUSTED, r5: compile-helper exit 1), so it is not in the
+# ladder — re-add ahead of rung 1 only after a clean measured win.
+# Rung 2 halves the live batch; rung 3 fully remats.  A slower measured
+# number always beats a null.
 _TRAIN_LADDER = (
-    dict(note="shipping", fused_torgb=True),
     dict(note="r3-proven (unfused torgb)", fused_torgb=False),
     dict(note="live batch 4", fused_torgb=False,
          accum=8, g_reg_accum=4, d_reg_accum=8),
@@ -230,7 +232,8 @@ _TRAIN_LADDER = (
 )
 
 
-def _run_train_ladder(batch: int = 32, **build_overrides):
+def _run_train_ladder(batch: int = 32, section: str = "train",
+                      **build_overrides):
     """Measure the three scheduled step variants, walking the memory ladder
     on failure.  Returns (sec_per_kimg, per_variant dict)."""
     import gc
@@ -291,15 +294,15 @@ def _run_train_ladder(batch: int = 32, **build_overrides):
                         last_err = e
                         if not transient or attempt == 2:
                             raise
-                        print(f"# train[{note}] variant {name} transient "
+                        print(f"# {section}[{note}] variant {name} transient "
                               f"failure (attempt {attempt + 1}): "
                               f"{_short_err(e, 160)}", flush=True)
-                print(f"# train[{note}] variant {name}: "
+                print(f"# {section}[{note}] variant {name}: "
                       f"{per_variant[name]:.3f} s/step", flush=True)
             break
         except Exception as e:
             last_err = e
-            print(f"# train rung '{note}' failed: {_short_err(e)}",
+            print(f"# {section} rung '{note}' failed: {_short_err(e)}",
                   flush=True)
         finally:
             del steps, state
@@ -327,6 +330,7 @@ def bench_adapt10():
     G (synt/tRGB affine + b64 weights offsets, out_in_additive), full D,
     ADA, 1024², glrate 0.02 (DissimilarDomains/README.md:190-195 run 05)."""
     sec_per_kimg, per_variant = _run_train_ladder(
+        section="adapt10",
         parametrization="out_in_additive",
         g_parts=("synt_affine", "tRGB_affine", "synt_weights_offset.b64",
                  "tRGB_weights_offset.b64"),

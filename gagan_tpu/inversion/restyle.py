@@ -133,16 +133,26 @@ class RestyleEncoderConfig:
 
 
 def _styles_from_final(cfg: RestyleEncoderConfig, params: Params,
-                       x: jax.Array) -> jax.Array:
+                       x: jax.Array, stage: Optional[int] = None,
+                       ) -> jax.Array:
     """Single-map style heads (restyle_psp_encoders.py:43-50 /
     restyle_e4e_encoders.py:76-89): all heads read the final 16x16 map;
-    progressive variants emit w0 + per-layer deltas."""
+    progressive variants emit w0 + per-layer deltas.
+
+    ``stage`` (progressive variants): deltas are learned only up to the
+    current ProgressiveStage — layers beyond it repeat w0
+    (restyle_e4e_encoders.py:85-88; Inference == all layers)."""
     if cfg.is_progressive:
+        stage = cfg.style_count if stage is None else stage
         w0 = enc._gradual_style_block(params["styles"]["0"], x, 16)
         ws = [w0]
         for i in range(1, cfg.style_count):
-            delta = enc._gradual_style_block(params["styles"][str(i)], x, 16)
-            ws.append(w0 + delta)
+            if i < min(stage + 1, cfg.style_count):
+                delta = enc._gradual_style_block(params["styles"][str(i)],
+                                                 x, 16)
+                ws.append(w0 + delta)
+            else:
+                ws.append(w0)
         return jnp.stack(ws, axis=1)
     latents = [enc._gradual_style_block(params["styles"][str(j)], x, 16)
                for j in range(cfg.style_count)]
@@ -171,15 +181,18 @@ def _fpn_styles(cfg: RestyleEncoderConfig, params: Params,
 
 
 def restyle_encode(cfg: RestyleEncoderConfig, params: Params,
-                   x: jax.Array) -> jax.Array:
-    """Encoder forward: [N, input_nc, 256, 256] -> [N, style_count, 512]."""
+                   x: jax.Array, stage: Optional[int] = None) -> jax.Array:
+    """Encoder forward: [N, input_nc, 256, 256] -> [N, style_count, 512].
+
+    ``stage`` limits learned deltas on the progressive variants (the
+    e4e_modules ProgressiveStage training schedule); None == Inference."""
     if cfg.is_resnet:
         feats = resnet34_features(params, x, want_taps=cfg.is_fpn)
     else:
         feats = enc.backbone_features(params, x, want_final=True)
     if cfg.is_fpn:
         return _fpn_styles(cfg, params, feats)
-    return _styles_from_final(cfg, params, feats["final"])
+    return _styles_from_final(cfg, params, feats["final"], stage=stage)
 
 
 # ----------------------------------------------------------------------------

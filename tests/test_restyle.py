@@ -84,6 +84,27 @@ def test_resnet_progressive_encoder_parity(x6):
     _check(net, "ResNetProgressiveBackboneEncoder", 6, x6)
 
 
+def test_progressive_stage_parity(x6):
+    """set_progressive_stage(k) semantics (restyle_e4e_encoders.py:71-88):
+    deltas apply only for layers 1..k; later layers repeat w0."""
+    _, e4e_mod, _ = _ref_modules()
+    torch.manual_seed(6)
+    net = e4e_mod.ResNetProgressiveBackboneEncoder(
+        n_styles=N_STYLES, opts=types.SimpleNamespace(input_nc=6)).eval()
+    net.set_progressive_stage(e4e_mod.ProgressiveStage(3))
+    cfg = restyle.RestyleEncoderConfig(
+        encoder_type="ResNetProgressiveBackboneEncoder",
+        stylegan_size=SIZE, input_nc=6)
+    params = _to_params(net)
+    with torch.no_grad():
+        want = net(torch.from_numpy(x6)).numpy()
+    got = np.asarray(restyle.restyle_encode(cfg, params, jnp.asarray(x6),
+                                            stage=3))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    # Layers beyond the stage repeat w0 exactly.
+    np.testing.assert_array_equal(got[:, 5], got[:, 10])
+
+
 @pytest.mark.slow
 def test_backbone_encoder_parity(x6):
     # IR-SE-50 single-map restyle pSp; slow tier (24 bottlenecks @256²).

@@ -100,16 +100,24 @@ def child(process_id: int, num_processes: int, coordinator: str,
 
     # Tiny shapes, real step: same configuration dryrun_multichip validates
     # single-process (full fused adversarial step, accum path included).
+    # The resume-cycle phases (3 consecutive 2-rank compiles) use an even
+    # smaller model so the whole protocol stays affordable on a 1-core box
+    # — the thing under test is state serialization + bitwise continuation,
+    # which is model-size-independent.
+    if phase in ("full", "pre", "resume"):
+        res, cb, cm, n_map, accum = 16, 512, 32, 1, 1
+    else:
+        res, cb, cm, n_map, accum = 32, 1024, 64, 2, 2
     g_cfg = sg2.GeneratorConfig(
-        z_dim=32, w_dim=32, img_resolution=32, img_channels=3,
-        mapping=sg2.MappingConfig(num_layers=2),
-        synthesis=sg2.SynthesisConfig(channel_base=1024, channel_max=64))
+        z_dim=32, w_dim=32, img_resolution=res, img_channels=3,
+        mapping=sg2.MappingConfig(num_layers=n_map),
+        synthesis=sg2.SynthesisConfig(channel_base=cb, channel_max=cm))
     d_cfg = sg2.DiscriminatorConfig(
-        img_resolution=32, img_channels=3, channel_base=1024, channel_max=64,
+        img_resolution=res, img_channels=3, channel_base=cb, channel_max=cm,
         mbstd_group_size=2)
     batch = 2 * num_processes * LOCAL_DEVICES
     cfg = ts.TrainConfig(batch_size=batch, simultaneous_main=True,
-                         accum_rounds=2)
+                         accum_rounds=accum)
 
     # Every process initializes the same state from the same seed (the
     # reference broadcasts rank-0 init through DDP; identical seeded init
@@ -126,7 +134,7 @@ def child(process_id: int, num_processes: int, coordinator: str,
     def global_batch(seed: float, ch: int) -> jax.Array:
         full = np.arange(batch, dtype=np.float32)[:, None, None, None]
         full = np.broadcast_to(
-            np.sin(full * seed), (batch, ch, 32, 32)
+            np.sin(full * seed), (batch, ch, res, res)
         ).astype(np.float32) if ch == 3 else full
         lo = process_id * (batch // num_processes)
         hi = lo + batch // num_processes
@@ -264,6 +272,13 @@ def _child_env() -> dict:
         f"--xla_force_host_platform_device_count={LOCAL_DEVICES} "
         + env.get("XLA_FLAGS", "").replace(
             "--xla_force_host_platform_device_count=8", ""))
+    # Fast child compiles (numerics stay IEEE; same policy as
+    # tests/conftest.py).  Critical on small shared-core boxes: gloo
+    # context init has a fixed 30s key-exchange window, and a rank still
+    # inside a full-opt XLA compile while its peer reaches the first
+    # collective blows that window deterministically.
+    if "xla_backend_optimization_level" not in env["XLA_FLAGS"]:
+        env["XLA_FLAGS"] += " --xla_backend_optimization_level=0"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # Share the host-keyed persistent compile cache across children and
     # runs (both ranks lower the identical module, so the cache is
@@ -283,30 +298,48 @@ def _child_env() -> dict:
 
 
 def _run_ranks(out_dir: str, env: dict, timeout: float,
-               phase: str = "basic") -> None:
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             "--process-id", str(i), "--num-processes",
-             str(NUM_PROCESSES), "--coordinator", f"127.0.0.1:{port}",
-             "--out-dir", out_dir, "--phase", phase],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(NUM_PROCESSES)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out.decode(errors="replace"))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, (
-            f"rank {procs.index(p)} [{phase}] failed "
-            f"(rc={p.returncode}):\n{out}")
+               phase: str = "basic", retries: int = 2) -> None:
+    for attempt in range(retries + 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 "--process-id", str(i), "--num-processes",
+                 str(NUM_PROCESSES), "--coordinator", f"127.0.0.1:{port}",
+                 "--out-dir", out_dir, "--phase", phase],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(NUM_PROCESSES)
+        ]
+        outs = []
+        timed_out = False
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=timeout)
+                outs.append(out.decode(errors="replace"))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        if not timed_out and all(p.returncode == 0 for p in procs):
+            return
+        # Gloo rendezvous DEADLINE_EXCEEDED when one rank is starved past
+        # the 30s key-exchange window, or a wall timeout while both ranks
+        # cold-compile on a shared core, is an environment flake, not a
+        # logic failure — the retry hits the now-warm persistent compile
+        # cache (a killed child still leaves its finished entries).
+        flaky = timed_out or any(
+            "DEADLINE_EXCEEDED" in o or "Gloo" in o for o in outs)
+        if attempt == retries or not flaky:
+            assert not timed_out, f"phase {phase} timed out after {timeout}s"
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, (
+                    f"rank {procs.index(p)} [{phase}] failed "
+                    f"(rc={p.returncode}):\n{out}")
+        print(f"[dryrun] phase {phase} "
+              f"{'wall timeout' if timed_out else 'rendezvous flake'}; "
+              f"retrying ({attempt + 1}/{retries})", flush=True)
 
 
 def parent_resume_cycle(timeout: float = 900.0) -> None:
