@@ -141,6 +141,8 @@ def install_torchvision_stub():
         sys.modules["models.encoders.helpers"] = helpers
         sys.modules["models.encoders.map2style"] = map2style
 
+    import importlib.machinery
+
     tv = types.ModuleType("torchvision")
     models = types.ModuleType("torchvision.models")
     resnet_mod = types.ModuleType("torchvision.models.resnet")
@@ -148,7 +150,15 @@ def install_torchvision_stub():
     models.resnet34 = resnet34
     models.resnet = resnet_mod
     tv.models = models
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.models"] = models
-    sys.modules["torchvision.models.resnet"] = resnet_mod
+    # Other libraries probe availability via importlib.util.find_spec,
+    # which raises ValueError on an in-sys.modules module whose __spec__
+    # is None (transformers does exactly this) — give each stub a real
+    # ModuleSpec.  transformers then treats torchvision as "available",
+    # which is harmless for the model classes the suite touches (only
+    # image processors import torchvision symbols).
+    for name, mod in (("torchvision", tv),
+                      ("torchvision.models", models),
+                      ("torchvision.models.resnet", resnet_mod)):
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules[name] = mod
     return tv
