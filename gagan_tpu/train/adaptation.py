@@ -151,15 +151,12 @@ class AdaptationTrainer:
         self.scc_state = None
         if cfg.loss.scc is not None:
             # The kept W+ prefix width comes from the ENCODER's style width
-            # when the e4e latent path is active — e4e always emits 512-wide
-            # styles (the reference SCCloss hardcodes 7*512,
-            # trainers.py:1159), so with w_dim != 512 deriving from w_dim
-            # would silently cross W+ layer boundaries.
+            # when the e4e latent path is active — the e4e style heads
+            # always emit 512-wide styles regardless of g_cfg.w_dim (the
+            # reference SCCloss hardcodes 7*512, trainers.py:1159), so
+            # deriving from w_dim would silently cross W+ layer boundaries
+            # whenever w_dim != 512 (ADVICE r4 #2).
             style_width = 512 if self._latent_cfg is not None else g_cfg.w_dim
-            if self._latent_cfg is not None and g_cfg.w_dim != 512:
-                raise ValueError(
-                    f"difa_w SCC: e4e styles are 512-wide but g_cfg.w_dim="
-                    f"{g_cfg.w_dim}; the kept-prefix slice would not align")
             self.scc_state = al.init_scc_state(
                 cfg.loss.scc.num_keep_first * style_width,
                 window=cfg.loss.scc.sliding_window_size)
