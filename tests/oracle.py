@@ -80,8 +80,14 @@ def install_torchvision_stub():
     import torch
     from torch import nn
 
-    if "torchvision" in sys.modules:
-        return sys.modules["torchvision"]
+    existing = sys.modules.get("torchvision")
+    if existing is not None and hasattr(
+            getattr(existing, "models", None), "resnet34"):
+        return existing
+    # A bare placeholder stub may already sit in sys.modules (e.g.
+    # verify_parity's dlib/clip/torchvision import shims) — upgrade it
+    # rather than bailing, or `from torchvision.models.resnet import ...`
+    # dies with "'torchvision' is not a package".
 
     class BasicBlock(nn.Module):
         def __init__(self, in_c, out_c, stride=1):
