@@ -7,7 +7,7 @@ from .crossover_mutation import (
     gaussian_crossover,
     simulated_binary_crossover,
 )
-from .evaluation import calculate_metrics
+from .evaluation import calculate_metrics, make_alex_lpips
 from .search import GASearchConfig, evolve_directions
 from .refine import apply_genetic_refinement, wgan_gradient_penalty
 
@@ -19,5 +19,6 @@ __all__ = [
     "dynamic_mutation",
     "evolve_directions",
     "gaussian_crossover",
+    "make_alex_lpips",
     "simulated_binary_crossover",
 ]
